@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle SQL and compare row count, schema and value hash
+(columns sorted by name, rows sorted by all columns).
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+(Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rows):
+    # round-trip floats to 9dp strings to match driver-style value hashing
+    out = []
+    for row in rows:
+        out.append(tuple("%.9g" % v if isinstance(v, float) else str(v) for v in row))
+    return sorted(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem",
+              "events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            gcols = sorted(got.columns)
+            g = con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()
+            want = con.sql(sql)
+            wcols = sorted(want.columns)
+            w = con.sql(f"SELECT {', '.join(wcols)} FROM want").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}"); n_fail += 1; continue
+        if gcols != wcols:
+            print(f"FAIL {name}: columns {gcols} != {wcols}"); n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
+        cg, cw = canon(g), canon(w)
+        if cg != cw:
+            bad = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {bad}")
+            for i in bad[:2]:
+                print(f"   spark={cg[i]}\n   duck ={cw[i]}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blocking.Blocking
+import graft.refine.DistinguishingTokens
+import graft.resolve.{ConnectedComponents, ExactCascade}
+import graft.runtime.Checkpoints
+import graft.score.Scoring
+import graft.signature.Signatures
+
+/** End-to-end transcript deduplication pipeline (BASELINE.json north_star):
+  *
+  *   turns -> per-conversation signatures (+ on-the-fly TF features)
+  *         -> deterministic exact cascade (cheap wins first,
+  *            reference matching_stages.py design)
+  *         -> union-of-rules blocking (role-seq/salient/MinHash bands)
+  *         -> Fellegi-Sunter scoring (JW + TF-product + cascades)
+  *         -> distinguishing-token second pass
+  *         -> threshold -> edges -> large-star/small-star clustering
+  *
+  * Every stage is a DataFrame => DataFrame function; with a checkpoint dir
+  * the inter-stage boundaries commit to parquet and a rerun resumes from
+  * the last committed stage.
+  */
+object Pipeline {
+
+  final case class Config(
+      predictThreshold: Double = -12,
+      improveThreshold: Double = -20,
+      /** clustering-edge gate on the FIRST-pass match_weight. The second
+        * pass re-ranks candidates per record (reference usage: best-match
+        * selection) but its magnitude scales with record length, so it is
+        * not used to gate transitive merges.
+        */
+      edgeThreshold: Double = -6.0,
+      topN: Int = 5,
+      prior: Double = 1e-6,
+      maxBlockRows: Int = 200,
+      useSecondPass: Boolean = true,
+      checkpointDir: Option[String] = None)
+
+  final case class Result(
+      signatures: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      refined: DataFrame,
+      clusters: DataFrame)
+
+  /** Columns carried through blocking into scoring. */
+  private val scoreCols = Seq(
+    "sig_text", "turn_texts", "role_seq", "len_band",
+    "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist")
+
+  def run(spark: SparkSession, turns: DataFrame, cfg: Config = Config()): Result = {
+    val ckpt = cfg.checkpointDir.map(new Checkpoints(spark, _))
+    // Stage boundaries always materialise: parquet commit when resumable
+    // checkpointing is on, localCheckpoint otherwise. This truncates
+    // lineage so downstream stages (and repeated actions on the results)
+    // never recompute upstream stages — the reference's per-stage temp-table
+    // materialisation (sql_pipeline/runner.py:471-491), and the only sane
+    // shape at 100 TB where recomputation is unaffordable.
+    def staged(name: String)(compute: => DataFrame): DataFrame =
+      ckpt.map(_.stage(name)(compute)).getOrElse(compute.localCheckpoint(true))
+
+    // 1. signatures (+ TF attach)
+    val sigs = staged("signatures") {
+      val s0 = Signatures.signatures(turns)
+      val tf = Signatures.tokenFrequencies(s0)
+      Signatures.attachTf(s0, tf)
+        .withColumn("block_key", col("bk_role_len"))
+    }.persist()
+
+    // 2. deterministic cascade (self-dedup: canonical side = all records;
+    // exact duplicates collapse to the min id immediately)
+    val cascade = staged("cascade") {
+      ExactCascade.run(
+        sigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+        sigs.select(col("conv_id"), col("sig_text"), col("block_key")))
+        // self-link: drop identity matches
+        .filter(col("conv_id") =!= col("resolved_canonical_id"))
+    }
+
+    // 3. blocking on everything (cascade edges merge in at the end)
+    val pairs = staged("pairs") {
+      Blocking.candidatePairsSelf(
+        sigs, "conv_id",
+        Blocking.defaultRules(Signatures.Bands),
+        maxBlockRows = cfg.maxBlockRows,
+        carryCols = scoreCols)
+    }
+
+    // 4. score
+    val scored = staged("scored") {
+      Scoring.scoreDefault(pairs, cfg.prior)
+        .filter(col("match_weight") > cfg.predictThreshold)
+        .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
+          "match_probability", "sig_text_l", "sig_text_r")
+    }
+
+    // 5. second pass
+    val refined = staged("refined") {
+      if (!cfg.useSecondPass) scored
+      else DistinguishingTokens.improve(scored,
+        DistinguishingTokens.Params(
+          matchWeightThreshold = cfg.improveThreshold, topNMatches = cfg.topN))
+        .select("conv_id_l", "conv_id_r", "match_weight", "match_weight_original",
+          "mw_adjustment")
+    }
+
+    // 6. edges = confident first-pass pairs + deterministic cascade links
+    val clusters = staged("clusters") {
+      val scoredEdges = scored.filter(col("match_weight") > cfg.edgeThreshold)
+        .select(col("conv_id_l"), col("conv_id_r"))
+      val cascadeEdges = cascade.select(
+        col("conv_id").as("conv_id_l"), col("resolved_canonical_id").as("conv_id_r"))
+      val edges = scoredEdges.unionByName(cascadeEdges).distinct()
+      ConnectedComponents.assignAll(
+        spark, sigs.select("conv_id"), edges,
+        checkpointDir = cfg.checkpointDir.map(_ + "/cc"))
+    }
+
+    Result(sigs, pairs, scored, refined, clusters)
+  }
+}

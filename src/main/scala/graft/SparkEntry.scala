@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-checked operator surface (relational core, text
+  * analysis, dedup/similarity, events, ER stages); `entry` is the flagship
+  * end-to-end transcript entity-resolution pipeline on synthetic data.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val allDefs: Seq[QueryDef] =
+    RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      EventsQueries.defs ++ ErQueries.defs
+
+  /** Flagship: full transcript ER pipeline (signatures -> blocking ->
+    * scoring -> clustering) on deterministic synthetic transcripts;
+    * driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = graft.ingest.TranscriptGen.turnsDF(spark, 200)
+    Pipeline.run(spark, turns).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression function library shared by the whole engine.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs on the hot path). Where a deterministic cross-engine hash
+  * is needed (MinHash / SimHash / fingerprints that must be reproducible in
+  * the DuckDB oracle), we derive a 60-bit integer from `md5`, which both
+  * engines compute identically. For pure-Spark hot paths where oracle parity
+  * is not needed, prefer `xxhash64` (cheaper).
+  */
+object GraftFunctions {
+
+  /** Deterministic 60-bit non-negative hash, identical in Spark and DuckDB.
+    * Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: long
+    * DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: mixes a seed into the hashed payload. */
+  def portableHash64(c: Column, seed: Int): Column =
+    portableHash64(concat(lit(s"s$seed|"), c.cast("string")))
+
+  /** Fast path (not oracle-portable): seeded xxhash64. */
+  def fastHash64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  // ---------------------------------------------------------------------
+  // Text normalisation (reference: cleaning/steps/normalisation.py:40-117 —
+  // upper-case, punctuation strip, whitespace collapse; re-expressed for
+  // transcript text rather than UK addresses).
+  // ---------------------------------------------------------------------
+
+  /** Canonical text normal form: uppercase, punctuation -> space, collapse
+    * whitespace, trim. Idempotent (property-tested).
+    */
+  def normText(c: Column): Column = {
+    val upper0 = upper(c)
+    val noPunct = regexp_replace(upper0, "[\\p{Punct}]", " ")
+    trim(regexp_replace(noPunct, "\\s+", " "))
+  }
+
+  /** Whitespace tokens of the normal form; empty string -> empty array. */
+  def tokens(c: Column): Column = {
+    val n = normText(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** Word n-grams of a token array as space-joined strings
+    * (reference builds bigrams via list_zip of shifted slices,
+    * post_linkage/identify_distinguishing_tokens.py:164-191).
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val sz = size(toks)
+    when(sz < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), sz - n), i => array_join(slice(toks, i + 1, lit(n)), " "))
+    )
+  }
+
+  /** Character n-grams of a string (reference trigram stage:
+    * linking_model/exact_matching/resolve_with_trigrams.py:10-20).
+    */
+  def charNgrams(c: Column, n: Int): Column = {
+    val len = length(c)
+    when(len < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), len - (n - 1)), i => c.substr(i, lit(n))))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash / SimHash (north_star: MinHash of concatenated turn text).
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * hash over the element array. Null/empty arrays yield Long.MaxValue
+    * minima. Oracle-portable when `portable=true`.
+    */
+  def minhash(elems: Column, k: Int, portable: Boolean = false): Column = {
+    val sigs = (0 until k).map { s =>
+      val hashed =
+        if (portable) transform(elems, e => portableHash64(e, s))
+        else transform(elems, e => fastHash64(e, s))
+      coalesce(array_min(hashed), lit(Long.MaxValue))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` keys, each hashing
+    * `rowsPerBand` consecutive signature slots together with the band index.
+    */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      concat_ws("_", lit(b), array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), "_"))
+    }
+    array(keys: _*)
+  }
+
+  /** SimHash over the low `bits` bits of each element hash: bit b of the
+    * result is 1 iff the sum over elements of (+1 if bit set else -1) > 0.
+    * Oracle-portable (md5-derived hashes).
+    */
+  def simhash(elems: Column, bits: Int = 32, portable: Boolean = true): Column = {
+    val hashed =
+      if (portable) transform(elems, e => portableHash64(e))
+      else transform(elems, e => fastHash64(e, 0))
+    val counts = aggregate(
+      hashed,
+      array_repeat(lit(0L), bits),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))),
+          (a, d) => a + d
+        )
+    )
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(bits - 1)).cast("array<bigint>"),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+  }
+
+  /** Hamming distance between two long-encoded bit vectors. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------------
+  // Set / vector similarity.
+  // ---------------------------------------------------------------------
+
+  /** Jaccard similarity of two arrays treated as sets. Empty-union -> 0.0. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0d, lit(0d)).otherwise(inter / uni)
+  }
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; zero-norm guarded to 0.0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0d, lit(0d)).otherwise(d / n)
+  }
+
+  // ---------------------------------------------------------------------
+  // Histogram maps (reference: list_aggregate(arr,'histogram') — DuckDB's
+  // array->MAP(value->count); SURVEY.md §2.4. Spark has no histogram
+  // aggregate; built per-row from the array with sort+boundary counting,
+  // which keeps it inside whole-stage codegen.)
+  // ---------------------------------------------------------------------
+
+  /** Per-row histogram of a string array as map<string, int> (counts). */
+  def histMap(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    // count of element e in sorted arr via filter-size over distinct values
+    val distinctVals = array_distinct(sorted)
+    map_from_entries(
+      transform(distinctVals, v => struct(v.as("key"), size(filter(arr, x => x === v)).as("value")))
+    )
+  }
+
+  /** Rolling polynomial fingerprint of a string array (document
+    * fingerprinting). Bounded modular arithmetic so neither Spark (ANSI
+    * overflow) nor the DuckDB oracle overflows, and both compute the exact
+    * same value: acc' = (acc*31 + h%1000003) % 900719925474099.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * lit(31L) + portableHash64(t) % lit(1000003L)) % lit(900719925474099L))
+}

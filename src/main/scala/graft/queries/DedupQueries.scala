@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.resolve.ConnectedComponents
+
+/** Deduplication + similarity-search operators over `documents` and
+  * `embeddings`: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine top-k (training-data-pipeline surface; MinHash banding
+  * is also the transcript blocking key per BASELINE.json north_star).
+  */
+object DedupQueries {
+  import Tables.load
+  import TextQueries.duckToks
+
+  /** DuckDB equivalent of GraftFunctions.portableHash64(col, seed). */
+  private def duckHash(e: String, seed: Int): String =
+    s"CAST('0x' || substr(md5('s$seed|' || $e), 1, 15) AS BIGINT)"
+
+  val MinhashK = 8
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** q19: n-gram Jaccard near-dup pairs within (lang, length-band) blocks —
+    * composite-key blocking + set-similarity verify. Standalone so q29 can
+    * reuse it as its edge generator.
+    */
+  val q19Def: QueryDef = QueryDef(
+    "q19_ngram_jaccard",
+    (s, dir) => {
+      val d = load(s, dir, "documents")
+      val withKey = d.select(col("doc_id"),
+        concat_ws("_", col("lang"), (col("n_chars") / 200).cast("int")).as("block_key"),
+        array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
+      withKey.as("l").join(withKey.as("r"),
+          col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"),
+          round(jaccard(col("l.shingles"), col("r.shingles")), 8).as("jaccard3"))
+        .filter(col("jaccard3") >= 0.2)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               lang || '_' || CAST(CAST(n_chars / 200 AS BIGINT) AS VARCHAR) AS block_key,
+               list_distinct(list_transform(
+                 list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingles
+        FROM (SELECT doc_id, lang, n_chars, $duckToks AS toks FROM documents) z
+        WHERE len(toks) >= 3)
+      SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+             round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
+                   greatest(len(list_distinct(l.shingles || r.shingles)), 1), 8) AS jaccard3
+      FROM t l JOIN t r ON l.block_key = r.block_key AND l.doc_id < r.doc_id
+      WHERE round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
+                  greatest(len(list_distinct(l.shingles || r.shingles)), 1), 8) >= 0.2
+    """)
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- q16: exact dedup via normalised-text hash groupBy (map-side
+    // combinable; canonical = min doc_id — reference dedupe-then-join
+    // pattern, annotate_exact_matches.py:48-57).
+    QueryDef(
+      "q16_exact_dedup",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        d.select(col("doc_id"), md5(normText(col("text"))).as("text_hash"))
+          .groupBy(col("text_hash"))
+          .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(regexp_replace(upper(text), '[[:punct:]]', ' ', 'g'),
+                 '\s+', ' ', 'g'))) AS text_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+      """)
+    ),
+
+    // --- q17: MinHash + LSH banding candidate pairs (shingle -> minhash ->
+    // band -> bucket self-join; north_star blocking analogue). Portable
+    // md5-derived hash family so DuckDB reproduces signatures exactly.
+    QueryDef(
+      "q17_minhash_lsh_pairs",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        val sig = d.select(col("doc_id"),
+          minhashBandKeys(minhash(tokens(col("text")), MinhashK, portable = true),
+            Bands, RowsPerBand).as("bands"))
+        val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+        exploded.as("l").join(exploded.as("r"),
+            col("l.band_key") === col("r.band_key") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"))
+          .distinct()
+      },
+      Some {
+        val sigElems = (0 until MinhashK)
+          .map(k => s"list_min(list_transform(toks, t -> ${duckHash("t", k)}))").mkString(", ")
+        val bandKeys = (0 until Bands)
+          .map(b => s"concat_ws('_', ${b}, sig[${b * RowsPerBand + 1}], sig[${b * RowsPerBand + 2}])")
+          .mkString(", ")
+        s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        sigs AS (SELECT doc_id, [$sigElems] AS sig FROM t WHERE len(toks) > 0),
+        bands AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sigs)
+        SELECT DISTINCT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
+        FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+        """
+      }
+    ),
+
+    // --- q18: SimHash fingerprint (32-bit, portable) + hamming distance to
+    // a fixed reference document's simhash.
+    QueryDef(
+      "q18_simhash",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        d.select(col("doc_id"), simhash(tokens(col("text")), 32).as("simhash32"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        h AS (SELECT doc_id,
+                list_transform(toks, tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS hs
+              FROM t)
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 32), b ->
+              CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(hs, x -> CASE WHEN (x >> b) & 1 = 1
+                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                     (a, v) -> a + v) > 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+            (a, v) -> a + v) AS simhash32
+        FROM h
+      """)
+    ),
+
+    q19Def,
+
+    // --- q20: brute-force cosine top-k similarity search over embeddings
+    // (ANN baseline; fold-ordered sums so DuckDB reproduces bit-for-bit).
+    QueryDef(
+      "q20_cosine_topk",
+      (s, dir) => {
+        val e = load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val queries = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = queries.crossJoin(e.filter(col("vec_id") % 50 =!= 0))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS n_id, v FROM e WHERE vec_id % 50 <> 0),
+        scored AS (
+          SELECT q_id, n_id,
+            round(
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(qv, v), x -> x[1] * x[2])), (a, b) -> a + b)
+              / COALESCE(NULLIF(
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+          FROM q CROSS JOIN c)
+        SELECT q_id, n_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5
+      """)
+    ),
+
+    // --- q20b: LSH-bucketed ANN (the 100TB scale path for q20): bucket =
+    // sign bits of the first 12 dims (a fixed random-hyperplane family);
+    // search only within the query's bucket. Pair join is per-bucket, so
+    // cost ~ n^2/buckets instead of n^2.
+    QueryDef(
+      "q20b_ann_lsh",
+      (s, dir) => {
+        val e = load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket",
+            aggregate(
+              zip_with(slice(col("v"), 1, 12),
+                sequence(lit(0), lit(11)).cast("array<double>"),
+                (x, i) => when(x > 0, pow(lit(2.0), i)).otherwise(lit(0.0))),
+              lit(0.0), (a, x) => a + x).cast("long"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val c = e.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("n_id"), col("v"), col("bucket"))
+        val scored = q.join(c, Seq("bucket"))
+          .select(col("q_id"), col("n_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, v,
+            CAST(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(range(0, 12),
+                i -> CASE WHEN v[i + 1] > 0 THEN pow(2.0, i::DOUBLE) ELSE 0.0 END)),
+              (a, x) -> a + x) AS BIGINT) AS bucket
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) z),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS n_id, v, bucket FROM e WHERE vec_id % 50 <> 0),
+        scored AS (
+          SELECT q_id, n_id,
+            round(
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(qv, v), x -> x[1] * x[2])), (a, b) -> a + b)
+              / COALESCE(NULLIF(
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+          FROM q JOIN c USING (bucket))
+        SELECT q_id, n_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 3
+      """)
+    ),
+
+    // --- q29: transitive clustering of near-dup pairs via iterative
+    // large-star/small-star (graft.resolve.ConnectedComponents); oracle =
+    // recursive-CTE transitive closure with min-label in DuckDB. Edges =
+    // the q19 n-gram-Jaccard pairs.
+    QueryDef(
+      "q29_connected_components",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        // zero-pad ids so string min == numeric min inside the CC kernel
+        val pad = (c: Column) => lpad(c.cast("string"), 12, "0")
+        val edges = q19Def.fn(s, dir)
+          .select(pad(col("doc_id_l")).as("src"), pad(col("doc_id_r")).as("dst"))
+        ConnectedComponents.assignAll(
+          s, d.select(pad(col("doc_id")).as("conv_id")), edges)
+          .select(col("conv_id").cast("bigint").as("doc_id"),
+            col("cluster_id").cast("bigint").as("cluster_id"))
+      },
+      q19Def.oracle.map { q19 =>
+        s"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_id_l, doc_id_r FROM ($q19) z
+        ),
+        bidir AS (
+          SELECT doc_id_l AS src, doc_id_r AS dst FROM pairs
+          UNION SELECT doc_id_r, doc_id_l FROM pairs),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.dst FROM walk w JOIN bidir e ON e.src = w.reach)
+        SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+        """
+      }
+    )
+  )
+}

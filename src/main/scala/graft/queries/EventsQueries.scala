@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: sessionization (gap
+  * rule via lag + running sum) and time-bucketed aggregation. Batch
+  * expressions of the streaming-shaped workloads (the reference is pure
+  * batch — SURVEY.md §2.10).
+  */
+object EventsQueries {
+  import Tables.load
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- q24: sessionization, 30-minute inactivity gap.
+    QueryDef(
+      "q24_sessionize",
+      (s, dir) => {
+        val e = load(s, dir, "events")
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val withGap = e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        val withSession = withGap.withColumn("session_seq",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        withSession.groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("session_value"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN LAG(ts, 1) OVER w IS NULL
+                        OR epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sess AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM g)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM sess GROUP BY user_id, session_seq
+      """)
+    ),
+
+    // --- q25: tumbling-hour aggregation by event type (time bucketing).
+    QueryDef(
+      "q25_hourly_agg",
+      (s, dir) => {
+        val e = load(s, dir, "events")
+        e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n,
+               round(sum(value), 4) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+      """)
+    )
+  )
+}

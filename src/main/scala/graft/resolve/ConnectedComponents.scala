@@ -1,0 +1,129 @@
+package graft.resolve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive closure of match edges into entity clusters via alternating
+  * large-star / small-star (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — the new capability vs the reference
+  * (which is link-only, splink_model.json:2) mandated by BASELINE.json.
+  *
+  * Pure DataFrame implementation (no RDD/GraphX):
+  *   large-star: for each node u and neighbours N(u), connect every
+  *     v in N(u) with v > u to m = min(N(u) ∪ {u});
+  *   small-star: connect every v in N(u) with v <= u (v != m) to m.
+  * Iterate until the edge multiset reaches a fixpoint; result is a forest
+  * of depth 1 rooted at each component's minimum node.
+  *
+  * Scale: each round is two groupBy shuffles on node id. Convergence is
+  * checked via a cheap aggregate (count + sum of hashes). Every iteration
+  * is checkpointed (lineage truncation — localCheckpoint by default, or a
+  * parquet checkpoint dir via `checkpointDir` for resumable runs per
+  * BASELINE.json north_rule).
+  */
+object ConnectedComponents {
+
+  /** @param edges two string columns (src, dst); undirected.
+    * @return (conv_id, cluster_id): every node mapped to its component's
+    *         minimum node id. Nodes absent from `edges` are not returned —
+    *         union singletons in the caller.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIterations: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val srcCol = edges.columns(0)
+    val dstCol = edges.columns(1)
+
+    // canonical undirected edge set, self-loops dropped
+    var e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, String) = (-1L, "")
+
+    while (!converged && iter < maxIterations) {
+      // ---- large-star ----
+      // neighbours of u in both directions
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val withMin = nbrs.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("nv"))
+        .withColumn("m", least(array_min(col("nv")), col("u")))
+      val large = withMin
+        .select(col("u"), col("m"), explode(col("nv")).as("v"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      // ---- small-star ----
+      val nbrs2 = large.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(large.select(col("dst").as("u"), col("src").as("v")))
+      val withMin2 = nbrs2.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("nv"))
+        .withColumn("m", least(array_min(col("nv")), col("u")))
+      val small = withMin2
+        .select(col("u"), col("m"), explode(col("nv")).as("v"))
+        .filter(col("v") <= col("u"))
+        .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
+        .unionByName(withMin2.select(least(col("u"), col("m")).as("src"),
+          greatest(col("u"), col("m")).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      // lineage truncation per iteration (resumability hook)
+      val next = checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/cc_iter_$iter"
+          small.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => small.localCheckpoint(eager = true)
+      }
+      val nextP = next.persist(StorageLevel.MEMORY_AND_DISK)
+
+      // convergence: stable (count, sum of row hashes); decimal sum so the
+      // aggregate cannot overflow under ANSI mode
+      val sigRow = nextP.select(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).cast("string").as("h"))
+        .head()
+      val sig = (sigRow.getLong(0), sigRow.getString(1))
+
+      e.unpersist()
+      e = nextP
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+
+    // after convergence the forest has depth 1: every edge (m, v) links a
+    // member to its component root m.
+    val assign = e.select(col("dst").as("conv_id"), col("src").as("cluster_id"))
+      .unionByName(e.select(col("src").as("conv_id"), col("src").as("cluster_id")))
+      .groupBy(col("conv_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    assign
+  }
+
+  /** Cluster assignment for all nodes: edge components + singletons. */
+  def assignAll(
+      spark: SparkSession,
+      allIds: DataFrame, // single column conv_id
+      edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val idName = allIds.columns(0)
+    val comp = run(spark, edges, checkpointDir = checkpointDir)
+    allIds.select(col(idName).as("conv_id"))
+      .join(comp, Seq("conv_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("conv_id")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.resolve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deterministic exact-match cascade — the cheap first pass that removes
+  * easy matches before probabilistic scoring (reference:
+  * linking_model/exact_matching/matching_stages.py:214-307, traced in
+  * SURVEY.md §3.2).
+  *
+  * Stage order (first match wins, like the reference's ordered stage list):
+  *   1. exact: normalised sig_text + blocking key equality, canonical side
+  *      deduped first (reference LATERAL ... LIMIT 1 rewritten as
+  *      row_number()=1 dedupe-then-join, annotate_exact_matches.py:31-58);
+  *   2. unique_shingle: a char-5-gram of the messy text that maps to
+  *      exactly one canonical record within the block key (reference
+  *      trigram stage, resolve_with_trigrams.py:54-157).
+  *
+  * Between stages, unmatched rows carry forward via left_anti
+  * (matching_stages.py:173-183); results accumulate via unionByName.
+  */
+object ExactCascade {
+
+  /** Link messy -> canonical. Both frames need (id, sig_text, block_key).
+    * Returns (id, resolved_canonical_id, match_reason) for matched rows.
+    */
+  def run(messy: DataFrame, canonical: DataFrame, idCol: String = "conv_id"): DataFrame = {
+    // Stage 1: exact match on (sig_text, block_key), dedup canonical first.
+    val canonDedup = canonical
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig_text"), col("block_key"))
+          .orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("resolved_canonical_id"), col("sig_text"), col("block_key"))
+
+    val exact = messy
+      .join(canonDedup, Seq("sig_text", "block_key"), "inner")
+      .select(col(idCol), col("resolved_canonical_id"),
+        lit("exact_match").as("match_reason"))
+
+    // Stage 2 input: rows not matched by stage 1.
+    val remaining = messy.join(exact.select(idCol), Seq(idCol), "left_anti")
+
+    // Stage 2: unique char-5-gram within block key. Semi-join canonical to
+    // observed messy block keys first (reference input_filters.py:40-96).
+    val canonFiltered = canonical
+      .join(remaining.select(col("block_key")).distinct(), Seq("block_key"), "left_semi")
+
+    val canonShingles = canonFiltered
+      .select(col(idCol).as("cand_id"), col("block_key"),
+        explode(array_distinct(charNgrams(col("sig_text"), 5))).as("shingle"))
+    // shingles unique to ONE canonical record within the block
+    val uniqueShingles = canonShingles
+      .groupBy(col("block_key"), col("shingle"))
+      .agg(countDistinct(col("cand_id")).as("n_cand"), first(col("cand_id")).as("cand_id"))
+      .filter(col("n_cand") === 1)
+      .select(col("block_key"), col("shingle"), col("cand_id"))
+
+    val messyShingles = remaining
+      .select(col(idCol), col("block_key"),
+        explode(array_distinct(charNgrams(col("sig_text"), 5))).as("shingle"))
+
+    // one-to-one gate: every unique shingle of the messy record points at
+    // the same single canonical, with at least `minHits` supporting
+    // shingles (resolve_with_trigrams.py:121-134).
+    val minHits = 3
+    val shingleMatch = messyShingles
+      .join(uniqueShingles, Seq("block_key", "shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("cand_id")).as("n_cands"),
+        count(lit(1)).as("hits"), min(col("cand_id")).as("resolved_canonical_id"))
+      .filter(col("n_cands") === 1 && col("hits") >= minHits)
+      .select(col(idCol), col("resolved_canonical_id"),
+        lit("unique_shingle").as("match_reason"))
+
+    exact.unionByName(shingleMatch)
+  }
+
+  /** Annotate the full messy table with cascade results (unmatched rows get
+    * null reason) — row-count preserving, like the reference's finalisation
+    * (matching_stages.py:140-170).
+    */
+  def annotate(messy: DataFrame, canonical: DataFrame, idCol: String = "conv_id"): DataFrame =
+    messy.join(run(messy, canonical, idCol), Seq(idCol), "left")
+}

@@ -1,0 +1,215 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.JaroWinkler.jaroWinkler
+
+/** Fellegi-Sunter pairwise scoring: a cascade of comparison levels per
+  * feature yields a Bayes factor; match_weight = log2(prior odds) + sum of
+  * log2(BF) (reference: data/splink_model.json comparisons + Splink 4
+  * semantics, SURVEY.md §3.3). Levels are evaluated first-match-wins, like
+  * the reference's CASE cascades.
+  *
+  * All levels are pure Column expressions => one whole-stage-codegen'd
+  * projection over the blocked pairs; the only non-built-in is the custom
+  * JaroWinkler Catalyst expression.
+  */
+final case class ComparisonLevel(
+    name: String,
+    condition: Column,
+    bayesFactor: Double,
+    /** optional TF adjustment: (rel-freq column, weight, base freq) — BF is
+      * scaled by (base/freq)^weight, the Splink tf_adjustment analogue
+      * (reference: splink_model.json:174-230).
+      */
+    tfAdjustment: Option[(Column, Double, Double)] = None)
+
+final case class Comparison(name: String, levels: Seq[ComparisonLevel], elseBf: Double) {
+  /** Bayes-factor column: first matching level wins, else `elseBf`. */
+  def bfColumn: Column = {
+    val base = levels.foldLeft[Option[Column]](None) { (acc, lv) =>
+      val adjusted = lv.tfAdjustment match {
+        case Some((freq, w, baseFreq)) =>
+          lit(lv.bayesFactor) * pow(lit(baseFreq) / greatest(freq, lit(1e-12)), lit(w))
+        case None => lit(lv.bayesFactor)
+      }
+      Some(acc match {
+        case None => when(lv.condition, adjusted)
+        case Some(c) => c.when(lv.condition, adjusted)
+      })
+    }
+    base.map(_.otherwise(lit(elseBf))).getOrElse(lit(elseBf))
+  }
+
+  /** Gamma column (level index, -1 for else) — debugging / evaluation aid. */
+  def gammaColumn: Column = {
+    val base = levels.zipWithIndex.foldLeft[Option[Column]](None) { case (acc, (lv, i)) =>
+      Some(acc match {
+        case None => when(lv.condition, lit(i))
+        case Some(c) => c.when(lv.condition, lit(i))
+      })
+    }
+    base.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+  }
+}
+
+final case class ScoreModel(priorMatchProbability: Double, comparisons: Seq[Comparison]) {
+  def priorLog2: Double =
+    math.log(priorMatchProbability / (1.0 - priorMatchProbability)) / math.log(2.0)
+}
+
+object Scoring {
+
+  /** Apply a score model to a blocked-pairs DataFrame (columns suffixed
+    * _l/_r). Adds per-comparison bf_* and gamma_* columns plus
+    * match_weight / match_probability.
+    */
+  def score(pairs: DataFrame, model: ScoreModel, keepGammas: Boolean = false): DataFrame = {
+    val withBf = model.comparisons.foldLeft(pairs) { (df, cmp) =>
+      val base = df.withColumn(s"bf_${cmp.name}", cmp.bfColumn)
+      if (keepGammas) base.withColumn(s"gamma_${cmp.name}", cmp.gammaColumn) else base
+    }
+    val weight = model.comparisons
+      .map(c => log2(col(s"bf_${c.name}")))
+      .foldLeft(lit(model.priorLog2): Column)(_ + _)
+    withBf
+      .withColumn("match_weight", weight)
+      .withColumn("match_probability",
+        pow(lit(2.0), col("match_weight")) / (lit(1.0) + pow(lit(2.0), col("match_weight"))))
+  }
+
+  // ---------------------------------------------------------------------
+  // Default transcript score model (constants mirror the reference's
+  // order-of-magnitude structure: strong exact level ~2^15, banded
+  // TF-product ladder, salient-token levels with inversion, role-seq
+  // (postcode-analogue) levenshtein ladder — splink_model.json:90-709).
+  // ---------------------------------------------------------------------
+
+  /** Product over shared tokens of rel_freq^min(cnt_l, cnt_r) — the
+    * reference's distinctive banded TF-product comparison
+    * (training.py:323-357, list_reduce of flattened map entries), computed
+    * from the string-keyed token_freq_hist maps.
+    */
+  def tfProduct(histL: Column, histR: Column): Column = {
+    val shared = map_filter(histL, (k, _) => map_contains_key(histR, k))
+    aggregate(
+      map_entries(shared),
+      lit(1.0),
+      (acc, e) => {
+        val vL = e.getField("value")
+        val vR = element_at(histR, e.getField("key"))
+        acc * pow(vL.getField("rel_freq"),
+          least(vL.getField("cnt"), vR.getField("cnt")).cast("double"))
+      })
+  }
+
+  /** Banded Bayes factor from a TF product via log10 banding: one
+    * element_at over a literal ladder instead of a 35-branch CASE
+    * (codegen-friendlier; same semantics as splink_model.json:327-618).
+    * Band i covers product < 10^(i - offset).
+    */
+  def bandedTfBf(product: Column, maxExp: Int = 4, minExp: Int = -29): Column = {
+    // BF ladder mirrors the reference's 2^(k/2)-ish decay: bf = 2^(-(exp)/1)
+    // with exp from minExp..maxExp; values from splink_model.json levels.
+    val bfs = (minExp to maxExp).map(e => math.pow(2.0, -e / 2.0))
+    val idx = greatest(lit(0),
+      least(lit(maxExp - minExp),
+        (floor(log10(greatest(product, lit(1e-300)))) - lit(minExp) + 1).cast("int")))
+    element_at(array(bfs.map(lit(_)): _*), idx + 1)
+  }
+
+  /** Default model over the signature-pair columns produced by
+    * Blocking.candidatePairs* with carryCols from Signatures.signatures +
+    * attachTf.
+    */
+  def defaultModel(prior: Double = 1e-6): ScoreModel = {
+    def c(n: String) = col(n + "_l") -> col(n + "_r")
+
+    val exactText = Comparison("sig_text",
+      Seq(
+        ComparisonLevel("null", col("sig_text_l").isNull || col("sig_text_r").isNull, 1.0),
+        ComparisonLevel("exact", col("sig_text_l") === col("sig_text_r"), math.pow(2, 15))),
+      elseBf = 1.0)
+
+    val tfProd = Comparison("token_tf_product",
+      Seq(
+        ComparisonLevel("null",
+          col("token_freq_hist_l").isNull || col("token_freq_hist_r").isNull, 1.0)),
+      elseBf = 1.0) // placeholder; bf injected via tfProductComparison below
+
+    val salient1 = Comparison("salient_token_1",
+      Seq(
+        ComparisonLevel("null",
+          col("salient_token_1_l").isNull || col("salient_token_1_r").isNull, 1.0),
+        ComparisonLevel("exact", col("salient_token_1_l") === col("salient_token_1_r"),
+          math.pow(2, 6)),
+        ComparisonLevel("inverted",
+          col("salient_token_1_l") === col("salient_token_2_r") ||
+            col("salient_token_2_l") === col("salient_token_1_r"), math.pow(2, 2))),
+      elseBf = math.pow(2, -6))
+
+    val salient3 = Comparison("salient_token_3",
+      Seq(
+        ComparisonLevel("bothnull",
+          col("salient_token_3_l").isNull && col("salient_token_3_r").isNull, 1.0),
+        ComparisonLevel("exact", col("salient_token_3_l") === col("salient_token_3_r"),
+          math.pow(2, 3)),
+        ComparisonLevel("onenull",
+          col("salient_token_3_l").isNull || col("salient_token_3_r").isNull, 1.0)),
+      elseBf = math.pow(2, -3))
+
+    val roleSeq = Comparison("role_seq",
+      Seq(
+        ComparisonLevel("null", col("role_seq_l").isNull || col("role_seq_r").isNull, 1.0),
+        ComparisonLevel("exact", col("role_seq_l") === col("role_seq_r"), math.pow(2, 4)),
+        ComparisonLevel("lev1", levenshtein(col("role_seq_l"), col("role_seq_r")) <= 1,
+          math.pow(2, 3)),
+        ComparisonLevel("lev2", levenshtein(col("role_seq_l"), col("role_seq_r")) <= 2,
+          math.pow(2, 2))),
+      elseBf = math.pow(2, -4))
+
+    val turnJw = Comparison("turn_jw",
+      Seq(
+        ComparisonLevel("null", col("turn_texts_l").isNull || col("turn_texts_r").isNull ||
+          size(col("turn_texts_l")) === 0 || size(col("turn_texts_r")) === 0, 1.0),
+        ComparisonLevel("high", meanTurnJw >= 0.95, math.pow(2, 8)),
+        ComparisonLevel("mid", meanTurnJw >= 0.85, math.pow(2, 5)),
+        ComparisonLevel("low", meanTurnJw >= 0.7, math.pow(2, 1))),
+      elseBf = math.pow(2, -5))
+
+    ScoreModel(prior, Seq(exactText, salient1, salient3, roleSeq, turnJw))
+  }
+
+  /** Mean Jaro-Winkler over turn-aligned texts (north_star: "batched
+    * Jaro-Winkler ... over turn-aligned text"): zip the two turn arrays,
+    * JW per aligned turn (computed via a fold over the zipped array using
+    * the custom expression through transform), mean over min length.
+    */
+  def meanTurnJw: Column = {
+    val zipped = zip_with(col("turn_texts_l"), col("turn_texts_r"),
+      (a, b) => when(a.isNull || b.isNull, lit(0.0)).otherwise(jwCol(a, b)))
+    aggregate(zipped, lit(0.0), (acc, x) => acc + x) /
+      greatest(size(col("turn_texts_l")), size(col("turn_texts_r")), lit(1)).cast("double")
+  }
+
+  private def jwCol(a: Column, b: Column): Column = jaroWinkler(a, b)
+
+  /** Score with the default model + the banded TF-product comparison added
+    * when hist maps are present.
+    */
+  def scoreDefault(pairs: DataFrame, prior: Double = 1e-6, useTfProduct: Boolean = true): DataFrame = {
+    val base = score(pairs, defaultModel(prior))
+    if (!useTfProduct) base
+    else {
+      val prod = tfProduct(col("token_freq_hist_l"), col("token_freq_hist_r"))
+      val bf = when(col("token_freq_hist_l").isNull || col("token_freq_hist_r").isNull, lit(1.0))
+        .otherwise(bandedTfBf(prod))
+      base
+        .withColumn("bf_token_tf_product", bf)
+        .withColumn("match_weight", col("match_weight") + log2(col("bf_token_tf_product")))
+        .withColumn("match_probability",
+          pow(lit(2.0), col("match_weight")) / (lit(1.0) + pow(lit(2.0), col("match_weight"))))
+    }
+  }
+}

@@ -1,0 +1,161 @@
+package graft.signature
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Per-conversation signature derivation — the transcript analogue of the
+  * reference's cleaning pipeline (reference: cleaning/pipelines.py:35-63,
+  * term_frequencies.py), re-expressed as one declarative Spark plan.
+  *
+  * Input: one row per turn (conv_id, turn_idx, role, text, tool, ts).
+  * Output: one row per conversation:
+  *   - sig_text: normalised concatenation of turn texts in stable
+  *     (turn_idx) order — the ROW INVARIANT hinges on the explicit
+  *     array_sort over collect_list(struct(turn_idx, ...)), because
+  *     collect_list order is not deterministic under shuffle
+  *     (SURVEY.md §7.4 risk 2).
+  *   - turn_texts: per-turn normalised text array (turn-aligned scoring).
+  *   - role_seq: compact role string, e.g. "UAUAT" (postcode analogue).
+  *   - tokens, token TF features, salient (rarest) tokens 1..3
+  *     (numeric_token_1..3 analogue, reference tokenisation.py:22-36).
+  *   - minhash signature + LSH band keys (north_star blocking keys).
+  */
+object Signatures {
+
+  val MinhashK = 12
+  val Bands = 4
+  val RowsPerBand = 3
+
+  /** TF-attach miss default (reference: term_frequencies.py:104-111). */
+  val DefaultRelFreq = 5e-5
+
+  /** Aggregate turns into ordered per-conversation rows. */
+  def conversations(turns: DataFrame): DataFrame = {
+    val collected = turns
+      .select(col("conv_id"), struct(col("turn_idx"), col("role"), col("text"), col("ts")).as("t"))
+      .groupBy(col("conv_id"))
+      .agg(array_sort(collect_list(col("t"))).as("ts_sorted"))
+    collected.select(
+      col("conv_id"),
+      size(col("ts_sorted")).as("n_turns"),
+      transform(col("ts_sorted"), t => normText(t.getField("text"))).as("turn_texts"),
+      transform(col("ts_sorted"), t => t.getField("role")).as("roles"),
+      concat_ws("", transform(col("ts_sorted"),
+        t => upper(substring(t.getField("role"), 1, 1)))).as("role_seq"))
+  }
+
+  /** Full signature table from raw turns. */
+  def signatures(turns: DataFrame): DataFrame = {
+    val conv = conversations(turns)
+    val withText = conv
+      .withColumn("sig_text", concat_ws(" ", col("turn_texts")))
+      .withColumn("tokens",
+        when(length(col("sig_text")) === 0, array().cast("array<string>"))
+          .otherwise(split(col("sig_text"), " ")))
+    withText
+      .withColumn("len_band", floor(log2(greatest(length(col("sig_text")), lit(1)))).cast("int"))
+      .withColumn("role_shingles", wordNgrams(split(col("role_seq"), ""), 3))
+      .withColumn("minhash_sig", minhash(col("tokens"), MinhashK))
+      .withColumn("minhash_bands", minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand))
+      .withColumn("bk_role_len", concat_ws("#", col("role_seq"), col("len_band")))
+  }
+
+  /** On-the-fly token relative-frequency table (reference mode
+    * `clean_data_on_the_fly`, cleaning/pipelines.py:108-129):
+    * rel_freq = occurrences / total occurrences.
+    */
+  def tokenFrequencies(signatures: DataFrame): DataFrame = {
+    val tok = signatures.select(explode(col("tokens")).as("token"))
+    val counted = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counted.withColumn("rel_freq",
+      col("cnt") / sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("token"), col("rel_freq"))
+  }
+
+  /** Attach TF features: token->rel_freq map, salient (rarest) tokens 1..3,
+    * and frequency-banded unusual-token arrays (reference:
+    * term_frequencies.py:264-307 bands at 1e-4 / 5e-5 / 1e-7, retuned as
+    * corpus-relative quantile-ish thresholds configurable by caller).
+    *
+    * The TF table is broadcast when small (reference TF ~300k rows); at
+    * 100 TB the TF table itself stays small (vocabulary-sized), so
+    * broadcast is the scale-correct default.
+    */
+  def attachTf(
+      sigs: DataFrame,
+      tf: DataFrame,
+      unusualMax: Double = 1e-3,
+      veryUnusualMax: Double = 1e-4,
+      extremelyUnusualMax: Double = 1e-5,
+      broadcastTf: Boolean = true): DataFrame = {
+    val tfSide = if (broadcastTf) broadcast(tf) else tf
+    val exploded = sigs.select(col("conv_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+      .join(tfSide, Seq("token"), "left")
+      .withColumn("rel_freq", coalesce(col("rel_freq"), lit(DefaultRelFreq)))
+    // rebuild ordered (token, rel_freq) array — explicit sort on pos, since
+    // collect_list order is non-deterministic (SURVEY §7.4).
+    val tokFreqArr = exploded
+      .groupBy(col("conv_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token"), col("rel_freq"))))
+        .as("pos_tok_freq"))
+      .select(col("conv_id"),
+        transform(col("pos_tok_freq"),
+          x => struct(x.getField("token").as("tok"), x.getField("rel_freq").as("rel_freq")))
+          .as("token_rel_freq_arr"))
+
+    def band(lo: Double, hi: Double): Column =
+      transform(
+        array_sort(
+          filter(col("token_rel_freq_arr"), x =>
+            x.getField("rel_freq") < hi && x.getField("rel_freq") >= lo),
+          (a, b) =>
+            when(a.getField("rel_freq") < b.getField("rel_freq"), -1)
+              .when(a.getField("rel_freq") > b.getField("rel_freq"), 1)
+              .when(a.getField("tok") < b.getField("tok"), -1)
+              .when(a.getField("tok") > b.getField("tok"), 1)
+              .otherwise(0)),
+        x => x.getField("tok"))
+
+    val withBands = tokFreqArr
+      .withColumn("token_freq_hist", histTokenMap(col("token_rel_freq_arr")))
+      .withColumn("unusual_tokens", array_distinct(band(veryUnusualMax, unusualMax)))
+      .withColumn("very_unusual_tokens", array_distinct(band(extremelyUnusualMax, veryUnusualMax)))
+      .withColumn("extremely_unusual_tokens", array_distinct(band(0.0, extremelyUnusualMax)))
+      // salient tokens = 3 rarest tokens overall (numeric_token_1..3 analogue)
+      .withColumn("by_rarity",
+        array_distinct(transform(
+          array_sort(col("token_rel_freq_arr"), (a, b) =>
+            when(a.getField("rel_freq") < b.getField("rel_freq"), -1)
+              .when(a.getField("rel_freq") > b.getField("rel_freq"), 1)
+              .when(a.getField("tok") < b.getField("tok"), -1)
+              .when(a.getField("tok") > b.getField("tok"), 1)
+              .otherwise(0)),
+          x => x.getField("tok"))))
+      .withColumn("salient_token_1", try_element_at(col("by_rarity"), lit(1)))
+      .withColumn("salient_token_2", try_element_at(col("by_rarity"), lit(2)))
+      .withColumn("salient_token_3", try_element_at(col("by_rarity"), lit(3)))
+      .drop("by_rarity")
+
+    sigs.join(withBands, Seq("conv_id"), "left")
+  }
+
+  /** token -> struct(cnt, rel_freq) map from the ordered (tok, rel_freq)
+    * array — the string-keyed remodel of the reference's struct-keyed
+    * histogram map (SURVEY.md §1.4): semantics identical because tok is
+    * unique per record after histogramming.
+    */
+  def histTokenMap(tokFreqArr: Column): Column = {
+    val distinctToks = array_distinct(transform(tokFreqArr, x => x.getField("tok")))
+    map_from_entries(
+      transform(distinctToks, t =>
+        struct(
+          t.as("key"),
+          struct(
+            size(filter(tokFreqArr, x => x.getField("tok") === t)).as("cnt"),
+            element_at(
+              transform(filter(tokFreqArr, x => x.getField("tok") === t),
+                x => x.getField("rel_freq")), 1).as("rel_freq")).as("value"))))
+  }
+}
