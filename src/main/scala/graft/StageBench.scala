@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-stage pipeline profiler: times each stage boundary separately
+  * (materialised via localCheckpoint so a stage's time is its own).
+  *
+  * Usage: sbt "runMain graft.StageBench [nConvIds] [cpus]"
+  */
+object StageBench {
+  def main(args: Array[String]): Unit = {
+    val nConvIds = args.lift(0).map(_.toLong).getOrElse(10000L)
+    val cpus = args.lift(1).getOrElse("8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stagebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stage] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    def mat(df: DataFrame): DataFrame = { val d = df.localCheckpoint(true); d }
+
+    val turns = timed("gen_turns") {
+      val t = graft.ingest.TranscriptGen.turnsDF(spark, nConvIds).repartition(cpus.toInt)
+      mat(t)
+    }
+    println(s"  turns=${turns.count()}")
+    val s0 = timed("conversations")(mat(graft.signature.Signatures.signatures(turns)))
+    val tf = timed("tf_table")(mat(graft.signature.Signatures.tokenFrequencies(s0)))
+    val sigs = timed("attach_tf")(mat(
+      graft.signature.Signatures.attachTf(s0, tf).withColumn("block_key", col("bk_role_len"))))
+    println(s"  sigs=${sigs.count()}")
+    val cascade = timed("cascade")(mat(graft.resolve.ExactCascade.run(
+      sigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+      sigs.select(col("conv_id"), col("sig_text"), col("block_key")))
+      .filter(col("conv_id") =!= col("resolved_canonical_id"))))
+    println(s"  cascade_links=${cascade.count()}")
+    val pairs = timed("blocking")(mat(graft.blocking.Blocking.candidatePairsSelf(
+      sigs, "conv_id", graft.blocking.Blocking.defaultRules(graft.signature.Signatures.Bands),
+      maxBlockRows = 200,
+      carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
+        "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist"))))
+    val nPairs = pairs.count()
+    println(s"  pairs=$nPairs")
+    pairs.groupBy("match_key").count().orderBy("match_key").collect()
+      .foreach(r => println(s"  rule_${r.get(0)}_pairs=${r.get(1)}"))
+    val scored = timed("scoring")(mat(graft.score.Scoring.scoreDefault(pairs, 1e-6)
+      .filter(col("match_weight") > -12)
+      .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
+        "match_probability", "sig_text_l", "sig_text_r")))
+    println(s"  scored=${scored.count()}")
+    val refined = timed("refine")(mat(graft.refine.DistinguishingTokens.improve(scored)))
+    println(s"  refined=${refined.count()}")
+    val edges = scored.filter(col("match_weight") > -6.0).select("conv_id_l", "conv_id_r")
+      .unionByName(cascade.select(col("conv_id").as("conv_id_l"),
+        col("resolved_canonical_id").as("conv_id_r")))
+    val clusters = timed("cc")(mat(graft.resolve.ConnectedComponents.assignAll(
+      spark, sigs.select("conv_id"), edges)))
+    println(s"  clusters=${clusters.select("cluster_id").distinct().count()}")
+    spark.stop()
+  }
+}

@@ -41,15 +41,22 @@ object Blocking {
     * plain equi-join.
     */
   def defaultRules(bands: Int): Seq[BlockingRule] = {
-    def k(c: String) = col(c + "_l") -> col(c + "_r")
+    // Every non-LSH rule composes a salient (rare) token with a second
+    // feature — the reference's rule shape (numeric_token x unusual-token x
+    // postcode-part composites, blocking.py:1-25). A bare role-sequence/
+    // length rule was measured to emit 98% of all candidate pairs while
+    // contributing no unique recall (every variant type is covered by a
+    // salient or MinHash rule) — pure-cheap-key rules do not survive scale.
     val base = Seq(
-      BlockingRule("role_len", col("bk_role_len_l"), col("bk_role_len_r")),
       BlockingRule("salient12",
         compositeKey(col("salient_token_1_l"), col("salient_token_2_l")),
         compositeKey(col("salient_token_1_r"), col("salient_token_2_r"))),
       BlockingRule("salient_inv",
         compositeKey(col("salient_token_1_l"), col("salient_token_2_l")),
         compositeKey(col("salient_token_2_r"), col("salient_token_1_r"))),
+      BlockingRule("salient1_role",
+        compositeKey(col("salient_token_1_l"), col("role_seq_l")),
+        compositeKey(col("salient_token_1_r"), col("role_seq_r"))),
       BlockingRule("salient1_len",
         compositeKey(col("salient_token_1_l"), col("len_band_l")),
         compositeKey(col("salient_token_1_r"), col("len_band_r")))
@@ -115,23 +122,29 @@ object Blocking {
       Seq(col(s"${idCol}_l"), col(s"${idCol}_r"), col("match_key")) ++
         carryCols.flatMap(c => Seq(col(c + "_l"), col(c + "_r")))
 
+    // stop-block capping (skew guard): keys whose block exceeds the cap are
+    // dropped — mirrors the reference's group-size bounding (top_n per
+    // group) and standard LSH stop-block practice. ALL rules' hot keys are
+    // found in ONE pass over the exploded (rule, key) stream per side —
+    // a single scan regardless of rule count (matters at 100 TB).
+    def hotKeys(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array(rules.indices.map(i =>
+        struct(lit(i).as("rule"), col(s"__bk_$i").as("key"))): _*)).as("rk"))
+      .filter(col("rk.key").isNotNull)
+      .groupBy(col("rk.rule").as("rule"), col("rk.key").as("key"))
+      .count()
+      .filter(col("count") > maxBlockRows)
+      .select(col("rule"), col("key"))
+    val hotL = hotKeys(lKeyed).persist()
+    val hotR = if (selfDedup) hotL else hotKeys(rKeyed).persist()
+
     val perRule = rules.indices.map { i =>
-      // stop-block capping per side (skew guard): drop keys that exceed the
-      // cap — mirrors the reference's group-size bounding (top_n per group)
-      // and standard LSH stop-block practice.
-      val hotL = lKeyed.groupBy(col(s"__bk_$i")).count()
-        .filter(col("count") > maxBlockRows).select(col(s"__bk_$i"))
+      val hotLKeys = broadcast(hotL.filter(col("rule") === i).select(col("key").as(s"__bk_$i")))
+      val hotRKeys = broadcast(hotR.filter(col("rule") === i).select(col("key").as(s"__bk_$i")))
       val lSide = lKeyed.filter(col(s"__bk_$i").isNotNull)
-        .join(broadcast(hotL), Seq(s"__bk_$i"), "left_anti")
-      val rSide =
-        if (selfDedup) rKeyed.filter(col(s"__bk_$i").isNotNull)
-          .join(broadcast(hotL.toDF(s"__bk_$i")), Seq(s"__bk_$i"), "left_anti")
-        else {
-          val hotR = rKeyed.groupBy(col(s"__bk_$i")).count()
-            .filter(col("count") > maxBlockRows).select(col(s"__bk_$i"))
-          rKeyed.filter(col(s"__bk_$i").isNotNull)
-            .join(broadcast(hotR), Seq(s"__bk_$i"), "left_anti")
-        }
+        .join(hotLKeys, Seq(s"__bk_$i"), "left_anti")
+      val rSide = rKeyed.filter(col(s"__bk_$i").isNotNull)
+        .join(hotRKeys, Seq(s"__bk_$i"), "left_anti")
 
       val joinCond =
         if (selfDedup)

@@ -99,8 +99,10 @@ object Scoring {
       (acc, e) => {
         val vL = e.getField("value")
         val vR = element_at(histR, e.getField("key"))
-        acc * pow(vL.getField("rel_freq"),
-          least(vL.getField("cnt"), vR.getField("cnt")).cast("double"))
+        val minCnt = least(vL.getField("cnt"), vR.getField("cnt"))
+        val rf = vL.getField("rel_freq")
+        // min count is 1 for almost every token — skip the pow() then
+        acc * when(minCnt === 1, rf).otherwise(pow(rf, minCnt.cast("double")))
       })
   }
 
@@ -187,8 +189,11 @@ object Scoring {
     * the custom expression through transform), mean over min length.
     */
   def meanTurnJw: Column = {
+    // JW is O(len^2); cap per-turn input at 48 chars — the prefix carries
+    // almost all of the discriminating signal and bounds per-pair cost.
     val zipped = zip_with(col("turn_texts_l"), col("turn_texts_r"),
-      (a, b) => when(a.isNull || b.isNull, lit(0.0)).otherwise(jwCol(a, b)))
+      (a, b) => when(a.isNull || b.isNull, lit(0.0))
+        .otherwise(jwCol(substring(a, 1, 48), substring(b, 1, 48))))
     aggregate(zipped, lit(0.0), (acc, x) => acc + x) /
       greatest(size(col("turn_texts_l")), size(col("turn_texts_r")), lit(1)).cast("double")
   }

@@ -25,8 +25,8 @@ import graft.functions.GraftFunctions._
 object Signatures {
 
   val MinhashK = 12
-  val Bands = 4
-  val RowsPerBand = 3
+  val Bands = 3
+  val RowsPerBand = 4
 
   /** TF-attach miss default (reference: term_frequencies.py:104-111). */
   val DefaultRelFreq = 5e-5
@@ -57,7 +57,11 @@ object Signatures {
     withText
       .withColumn("len_band", floor(log2(greatest(length(col("sig_text")), lit(1)))).cast("int"))
       .withColumn("role_shingles", wordNgrams(split(col("role_seq"), ""), 3))
-      .withColumn("minhash_sig", minhash(col("tokens"), MinhashK))
+      // MinHash over word-3-gram shingles (not unigram tokens): unrelated
+      // records sharing a vocabulary still have near-disjoint shingle sets,
+      // so LSH bands stay selective (candidate-pair count is THE scale
+      // driver; shingle->minhash->band is the standard near-dup design)
+      .withColumn("minhash_sig", minhash(array_distinct(wordNgrams(col("tokens"), 3)), MinhashK))
       .withColumn("minhash_bands", minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand))
       .withColumn("bk_role_len", concat_ws("#", col("role_seq"), col("len_band")))
   }
