@@ -13,7 +13,7 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      EventsQueries.defs ++ ErQueries.defs ++ BinaryQueries.defs
+      EventsQueries.defs ++ ErQueries.defs ++ BinaryQueries.defs ++ SamplingQueries.defs
 
   /** Flagship: full transcript ER pipeline (signatures -> blocking ->
     * scoring -> clustering) on deterministic synthetic transcripts;

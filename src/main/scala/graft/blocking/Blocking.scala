@@ -100,6 +100,46 @@ object Blocking {
     candidatePairs(l, r, idCol, rules, maxBlockRows, selfDedup = false, carryCols)
   }
 
+  /** Sorted-neighborhood pairing inside a (possibly hot) block: sort block
+    * members by a secondary key and pair only rows within `windowSize`
+    * positions of each other. Output is O(n * window) instead of O(n^2) —
+    * the salvage path for blocks the stop-block cap would otherwise drop
+    * entirely (classic ER sorted-neighborhood method; complements the
+    * reference's hard group-size caps).
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      blockKey: Column,
+      sortKey: Column,
+      windowSize: Int): DataFrame = {
+    val ranked = df
+      .withColumn("__bk", blockKey)
+      .withColumn("__sk", sortKey)
+      .filter(col("__bk").isNotNull)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bk")).orderBy(col("__sk").asc, col(idCol).asc)))
+    val l = ranked.select(col("__bk").as("__bk_l"), col("__rn").as("__rn_l"),
+      col(idCol).as(s"${idCol}_l"))
+    val r = ranked.select(col("__bk").as("__bk_r"), col("__rn").as("__rn_r"),
+      col(idCol).as(s"${idCol}_r"))
+    l.join(r, col("__bk_l") === col("__bk_r") && col("__rn_r") > col("__rn_l") &&
+        col("__rn_r") <= col("__rn_l") + windowSize)
+      .select(
+        least(col(s"${idCol}_l"), col(s"${idCol}_r")).as(s"${idCol}_l"),
+        greatest(col(s"${idCol}_l"), col(s"${idCol}_r")).as(s"${idCol}_r"))
+      .distinct()
+  }
+
+  /** Size-based join-side hint (north_star: "skew-aware broadcast-or-sort-
+    * merge block join"): broadcast the smaller side when it fits, else let
+    * Catalyst/AQE pick sort-merge. `rowsHint` should come from a cheap
+    * count on an already-materialised stage boundary.
+    */
+  def broadcastIfSmall(df: DataFrame, rowsHint: Long, maxBroadcastRows: Long = 1000000L): DataFrame =
+    if (rowsHint >= 0 && rowsHint <= maxBroadcastRows) broadcast(df) else df
+
   private def candidatePairs(
       l: DataFrame,
       r: DataFrame,

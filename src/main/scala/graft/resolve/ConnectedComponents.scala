@@ -51,15 +51,17 @@ object ConnectedComponents {
     var prevSig: (Long, String) = (-1L, "")
 
     while (!converged && iter < maxIterations) {
+      // Neighborhood minima via groupBy(min) + join back — never
+      // collect_set: a hub node's neighbor array would have to fit in one
+      // executor's memory, which dies exactly at the scale CC matters.
+
       // ---- large-star ----
-      // neighbours of u in both directions
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
-      val withMin = nbrs.groupBy(col("u"))
-        .agg(collect_set(col("v")).as("nv"))
-        .withColumn("m", least(array_min(col("nv")), col("u")))
-      val large = withMin
-        .select(col("u"), col("m"), explode(col("nv")).as("v"))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -68,14 +70,13 @@ object ConnectedComponents {
       // ---- small-star ----
       val nbrs2 = large.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(large.select(col("dst").as("u"), col("src").as("v")))
-      val withMin2 = nbrs2.groupBy(col("u"))
-        .agg(collect_set(col("v")).as("nv"))
-        .withColumn("m", least(array_min(col("nv")), col("u")))
-      val small = withMin2
-        .select(col("u"), col("m"), explode(col("nv")).as("v"))
+      val mins2 = nbrs2.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val small = nbrs2.join(mins2, "u")
         .filter(col("v") <= col("u"))
         .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
-        .unionByName(withMin2.select(least(col("u"), col("m")).as("src"),
+        .unionByName(mins2.select(least(col("u"), col("m")).as("src"),
           greatest(col("u"), col("m")).as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()

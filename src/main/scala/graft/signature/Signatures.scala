@@ -73,9 +73,11 @@ object Signatures {
   def tokenFrequencies(signatures: DataFrame): DataFrame = {
     val tok = signatures.select(explode(col("tokens")).as("token"))
     val counted = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    counted.withColumn("rel_freq",
-      col("cnt") / sum(col("cnt")).over(Window.partitionBy()))
-      .select(col("token"), col("rel_freq"))
+    // scalar total via broadcast cross join — NOT an empty-spec window,
+    // which would funnel the whole vocabulary through one partition
+    val total = counted.agg(sum(col("cnt")).as("__total"))
+    counted.crossJoin(broadcast(total))
+      .select(col("token"), (col("cnt") / col("__total")).as("rel_freq"))
   }
 
   /** Attach TF features: token->rel_freq map, salient (rarest) tokens 1..3,
@@ -95,71 +97,52 @@ object Signatures {
       extremelyUnusualMax: Double = 1e-5,
       broadcastTf: Boolean = true): DataFrame = {
     val tfSide = if (broadcastTf) broadcast(tf) else tf
-    val exploded = sigs.select(col("conv_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+    // Aggregate at (conv, token) level first: counts are map-side
+    // combinable and the downstream per-conversation array is one entry per
+    // DISTINCT token — every derived feature (hist map, rarity bands,
+    // salient tokens) needs exactly that granularity. The reference builds
+    // a per-occurrence array and histograms it later
+    // (term_frequencies.py:49-61, 354-355); aggregating first is the
+    // shuffle-light equivalent.
+    val perToken = sigs
+      .select(col("conv_id"), explode(col("tokens")).as("token"))
       .join(tfSide, Seq("token"), "left")
       .withColumn("rel_freq", coalesce(col("rel_freq"), lit(DefaultRelFreq)))
-    // rebuild ordered (token, rel_freq) array — explicit sort on pos, since
-    // collect_list order is non-deterministic (SURVEY §7.4).
-    val tokFreqArr = exploded
+      .groupBy(col("conv_id"), col("token"))
+      .agg(count(lit(1)).cast("int").as("cnt"), first(col("rel_freq")).as("rel_freq"))
+
+    // one collect per conversation; array_sort on the struct's natural
+    // field order (rel_freq asc, token asc) replaces comparator lambdas —
+    // far smaller generated code, same rarity ordering as the reference's
+    // list_grade_up (term_frequencies.py:272-305)
+    val perConv = perToken
       .groupBy(col("conv_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("token"), col("rel_freq"))))
-        .as("pos_tok_freq"))
-      .select(col("conv_id"),
-        transform(col("pos_tok_freq"),
-          x => struct(x.getField("token").as("tok"), x.getField("rel_freq").as("rel_freq")))
-          .as("token_rel_freq_arr"))
+      .agg(array_sort(collect_list(
+        struct(col("rel_freq"), col("token"), col("cnt")))).as("tf_arr"))
 
-    def band(lo: Double, hi: Double): Column =
+    def bandTokens(lo: Double, hi: Double): Column =
       transform(
-        array_sort(
-          filter(col("token_rel_freq_arr"), x =>
-            x.getField("rel_freq") < hi && x.getField("rel_freq") >= lo),
-          (a, b) =>
-            when(a.getField("rel_freq") < b.getField("rel_freq"), -1)
-              .when(a.getField("rel_freq") > b.getField("rel_freq"), 1)
-              .when(a.getField("tok") < b.getField("tok"), -1)
-              .when(a.getField("tok") > b.getField("tok"), 1)
-              .otherwise(0)),
-        x => x.getField("tok"))
+        filter(col("tf_arr"), x => x.getField("rel_freq") < hi && x.getField("rel_freq") >= lo),
+        x => x.getField("token"))
 
-    val withBands = tokFreqArr
-      .withColumn("token_freq_hist", histTokenMap(col("token_rel_freq_arr")))
-      .withColumn("unusual_tokens", array_distinct(band(veryUnusualMax, unusualMax)))
-      .withColumn("very_unusual_tokens", array_distinct(band(extremelyUnusualMax, veryUnusualMax)))
-      .withColumn("extremely_unusual_tokens", array_distinct(band(0.0, extremelyUnusualMax)))
-      // salient tokens = 3 rarest tokens overall (numeric_token_1..3 analogue)
-      .withColumn("by_rarity",
-        array_distinct(transform(
-          array_sort(col("token_rel_freq_arr"), (a, b) =>
-            when(a.getField("rel_freq") < b.getField("rel_freq"), -1)
-              .when(a.getField("rel_freq") > b.getField("rel_freq"), 1)
-              .when(a.getField("tok") < b.getField("tok"), -1)
-              .when(a.getField("tok") > b.getField("tok"), 1)
-              .otherwise(0)),
-          x => x.getField("tok"))))
-      .withColumn("salient_token_1", try_element_at(col("by_rarity"), lit(1)))
-      .withColumn("salient_token_2", try_element_at(col("by_rarity"), lit(2)))
-      .withColumn("salient_token_3", try_element_at(col("by_rarity"), lit(3)))
-      .drop("by_rarity")
+    val withBands = perConv
+      .withColumn("token_freq_hist",
+        map_from_entries(transform(col("tf_arr"), x =>
+          struct(x.getField("token").as("key"),
+            struct(x.getField("cnt").as("cnt"),
+              x.getField("rel_freq").as("rel_freq")).as("value")))))
+      .withColumn("unusual_tokens", bandTokens(veryUnusualMax, unusualMax))
+      .withColumn("very_unusual_tokens", bandTokens(extremelyUnusualMax, veryUnusualMax))
+      .withColumn("extremely_unusual_tokens", bandTokens(0.0, extremelyUnusualMax))
+      // salient tokens = 3 rarest distinct tokens (numeric_token_1..3 analogue)
+      .withColumn("salient_token_1",
+        try_element_at(col("tf_arr"), lit(1)).getField("token"))
+      .withColumn("salient_token_2",
+        try_element_at(col("tf_arr"), lit(2)).getField("token"))
+      .withColumn("salient_token_3",
+        try_element_at(col("tf_arr"), lit(3)).getField("token"))
+      .drop("tf_arr")
 
     sigs.join(withBands, Seq("conv_id"), "left")
-  }
-
-  /** token -> struct(cnt, rel_freq) map from the ordered (tok, rel_freq)
-    * array — the string-keyed remodel of the reference's struct-keyed
-    * histogram map (SURVEY.md §1.4): semantics identical because tok is
-    * unique per record after histogramming.
-    */
-  def histTokenMap(tokFreqArr: Column): Column = {
-    val distinctToks = array_distinct(transform(tokFreqArr, x => x.getField("tok")))
-    map_from_entries(
-      transform(distinctToks, t =>
-        struct(
-          t.as("key"),
-          struct(
-            size(filter(tokFreqArr, x => x.getField("tok") === t)).as("cnt"),
-            element_at(
-              transform(filter(tokFreqArr, x => x.getField("tok") === t),
-                x => x.getField("rel_freq")), 1).as("rel_freq")).as("value"))))
   }
 }
