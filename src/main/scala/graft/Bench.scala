@@ -38,7 +38,13 @@ object Bench {
     val nPairs = res.pairs.count()
     val nClusters = res.clusters.select("cluster_id").distinct().count()
     val pipeSec = (System.nanoTime() - tPipe0) / 1e9
-    val pairsPerSec = nPairs / pipeSec
+    // isolated scoring throughput (BASELINE gate: candidate-pairs-scored/sec):
+    // res.pairs is already materialised, so this times scoring alone
+    val tScore0 = System.nanoTime()
+    graft.score.Scoring.scoreDefault(res.pairs, 1e-6)
+      .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
+    val scoreSec = (System.nanoTime() - tScore0) / 1e9
+    val pairsPerSec = nPairs / scoreSec
     turns.unpersist()
 
     val all = results :+ ("er_pipeline" -> pipeSec)

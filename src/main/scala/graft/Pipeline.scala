@@ -50,7 +50,9 @@ object Pipeline {
   /** Columns carried through blocking into scoring. */
   private val scoreCols = Seq(
     "sig_text", "turn_texts", "role_seq", "len_band",
-    "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist")
+    "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
+        "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
+        "numeric_token_1", "numeric_token_2", "numeric_token_3")
 
   def run(spark: SparkSession, turns: DataFrame, cfg: Config = Config()): Result = {
     val ckpt = cfg.checkpointDir.map(new Checkpoints(spark, _))

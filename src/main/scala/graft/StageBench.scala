@@ -49,7 +49,9 @@ object StageBench {
       sigs, "conv_id", graft.blocking.Blocking.defaultRules(graft.signature.Signatures.Bands),
       maxBlockRows = 200,
       carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
-        "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist"))))
+        "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
+        "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
+        "numeric_token_1", "numeric_token_2", "numeric_token_3"))))
     val nPairs = pairs.count()
     println(s"  pairs=$nPairs")
     pairs.groupBy("match_key").count().orderBy("match_key").collect()

@@ -32,7 +32,7 @@ object DedupQueries {
     (s, dir) => {
       val d = load(s, dir, "documents")
       val withKey = d.select(col("doc_id"),
-        concat_ws("_", col("lang"), (col("n_chars") / 200).cast("int")).as("block_key"),
+        concat_ws("_", col("lang"), (col("n_chars") / 50).cast("int")).as("block_key"),
         array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
       withKey.as("l").join(withKey.as("r"),
           col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id"))
@@ -43,7 +43,7 @@ object DedupQueries {
     Some(s"""
       WITH t AS (
         SELECT doc_id,
-               lang || '_' || CAST(CAST(n_chars / 200 AS BIGINT) AS VARCHAR) AS block_key,
+               lang || '_' || CAST(CAST(n_chars / 50 AS BIGINT) AS VARCHAR) AS block_key,
                list_distinct(list_transform(
                  list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
                  x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingles
@@ -80,14 +80,18 @@ object DedupQueries {
     ),
 
     // --- q17: MinHash + LSH banding candidate pairs (shingle -> minhash ->
-    // band -> bucket self-join; north_star blocking analogue). Portable
-    // md5-derived hash family so DuckDB reproduces signatures exactly.
+    // band -> bucket self-join; north_star blocking analogue). MinHash runs
+    // over word-3-gram shingles — unigram-token signatures collapse into
+    // giant buckets on vocabulary-sharing corpora (measured 288s at sf0.1).
+    // Portable md5-derived hash family so DuckDB reproduces signatures
+    // exactly.
     QueryDef(
       "q17_minhash_lsh_pairs",
       (s, dir) => {
         val d = load(s, dir, "documents")
+        val shingles = array_distinct(wordNgrams(tokens(col("text")), 3))
         val sig = d.select(col("doc_id"),
-          minhashBandKeys(minhash(tokens(col("text")), MinhashK, portable = true),
+          minhashBandKeys(minhash(shingles, MinhashK, portable = true),
             Bands, RowsPerBand).as("bands"))
         val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
         exploded.as("l").join(exploded.as("r"),
@@ -97,13 +101,17 @@ object DedupQueries {
       },
       Some {
         val sigElems = (0 until MinhashK)
-          .map(k => s"list_min(list_transform(toks, t -> ${duckHash("t", k)}))").mkString(", ")
+          .map(k => s"list_min(list_transform(sh, t -> ${duckHash("t", k)}))").mkString(", ")
         val bandKeys = (0 until Bands)
           .map(b => s"concat_ws('_', ${b}, sig[${b * RowsPerBand + 1}], sig[${b * RowsPerBand + 2}])")
           .mkString(", ")
         s"""
         WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        sigs AS (SELECT doc_id, [$sigElems] AS sig FROM t WHERE len(toks) > 0),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS sh
+               FROM t WHERE len(toks) >= 3),
+        sigs AS (SELECT doc_id, [$sigElems] AS sig FROM sh WHERE len(sh) > 0),
         bands AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sigs)
         SELECT DISTINCT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
         FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id

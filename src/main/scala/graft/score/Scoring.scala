@@ -171,6 +171,52 @@ object Scoring {
           math.pow(2, 2))),
       elseBf = math.pow(2, -4))
 
+    // positional numeric-token cascade with inversion (reference:
+    // numeric_token_1 comparison, splink_model.json:174-230)
+    val numeric1 = Comparison("numeric_token_1",
+      Seq(
+        ComparisonLevel("null",
+          col("numeric_token_1_l").isNull || col("numeric_token_1_r").isNull, 1.0),
+        ComparisonLevel("exact", col("numeric_token_1_l") === col("numeric_token_1_r"),
+          math.pow(2, 6)),
+        ComparisonLevel("inverted",
+          col("numeric_token_1_l") === col("numeric_token_2_r") ||
+            col("numeric_token_2_l") === col("numeric_token_1_r"), math.pow(2, 2))),
+      elseBf = math.pow(2, -6))
+
+    val numeric2 = Comparison("numeric_token_2",
+      Seq(
+        ComparisonLevel("bothnull",
+          col("numeric_token_2_l").isNull && col("numeric_token_2_r").isNull, 1.0),
+        ComparisonLevel("exact", col("numeric_token_2_l") === col("numeric_token_2_r"),
+          math.pow(2, 4)),
+        ComparisonLevel("onenull",
+          col("numeric_token_2_l").isNull || col("numeric_token_2_r").isNull, 1.0)),
+      elseBf = math.pow(2, -3))
+
+    // shared rare tokens are the strongest identity evidence (reference:
+    // unusual-token bands drive both blocking and distinguishing-token
+    // logic; this is their comparison-level form)
+    val rareOverlap = Comparison("rare_token_overlap",
+      Seq(
+        ComparisonLevel("null",
+          col("extremely_unusual_tokens_l").isNull || col("extremely_unusual_tokens_r").isNull, 1.0),
+        ComparisonLevel("extremely",
+          size(array_intersect(col("extremely_unusual_tokens_l"),
+            col("extremely_unusual_tokens_r"))) > 0, math.pow(2, 7)),
+        ComparisonLevel("very",
+          size(array_intersect(col("very_unusual_tokens_l"),
+            col("very_unusual_tokens_r"))) > 0, math.pow(2, 4))),
+      elseBf = math.pow(2, -2))
+
+    val nTurns = Comparison("n_turns",
+      Seq(
+        ComparisonLevel("null", col("n_turns_l").isNull || col("n_turns_r").isNull, 1.0),
+        ComparisonLevel("same", col("n_turns_l") === col("n_turns_r"), 2.0),
+        ComparisonLevel("off_by_one",
+          abs(col("n_turns_l") - col("n_turns_r")) === 1, 1.0)),
+      elseBf = 0.25)
+
     val turnJw = Comparison("turn_jw",
       Seq(
         ComparisonLevel("null", col("turn_texts_l").isNull || col("turn_texts_r").isNull ||
@@ -180,22 +226,37 @@ object Scoring {
         ComparisonLevel("low", meanTurnJw >= 0.7, math.pow(2, 1))),
       elseBf = math.pow(2, -5))
 
-    ScoreModel(prior, Seq(exactText, salient1, salient3, roleSeq, turnJw))
+    ScoreModel(prior, Seq(exactText, salient1, salient3, numeric1, numeric2,
+      roleSeq, turnJw, rareOverlap, nTurns))
   }
 
   /** Mean Jaro-Winkler over turn-aligned texts (north_star: "batched
-    * Jaro-Winkler ... over turn-aligned text"): zip the two turn arrays,
-    * JW per aligned turn (computed via a fold over the zipped array using
-    * the custom expression through transform), mean over min length.
+    * Jaro-Winkler ... over turn-aligned text").
+    *
+    * Alignment: best of three index alignments (exact zip, left shifted by
+    * one, right shifted by one) — truncated or prefix-inserted turns would
+    * otherwise shift every subsequent turn off its partner and sink the
+    * mean. Denominator is the ALIGNED turn count (min length), so a
+    * truncated duplicate still scores ~1.0; length disagreement is scored
+    * by its own comparison (nTurnsComparison), not smuggled in here.
     */
   def meanTurnJw: Column = {
     // JW is O(len^2); cap per-turn input at 48 chars — the prefix carries
     // almost all of the discriminating signal and bounds per-pair cost.
-    val zipped = zip_with(col("turn_texts_l"), col("turn_texts_r"),
-      (a, b) => when(a.isNull || b.isNull, lit(0.0))
-        .otherwise(jwCol(substring(a, 1, 48), substring(b, 1, 48))))
-    aggregate(zipped, lit(0.0), (acc, x) => acc + x) /
-      greatest(size(col("turn_texts_l")), size(col("turn_texts_r")), lit(1)).cast("double")
+    def jwSumOver(l: Column, r: Column): Column =
+      aggregate(
+        zip_with(l, r, (a, b) => when(a.isNull || b.isNull, lit(0.0))
+          .otherwise(jwCol(substring(a, 1, 48), substring(b, 1, 48)))),
+        lit(0.0), (acc, x) => acc + x)
+    def meanOver(l: Column, r: Column): Column =
+      jwSumOver(l, r) / greatest(least(size(l), size(r)), lit(1)).cast("double")
+    val l = col("turn_texts_l")
+    val r = col("turn_texts_r")
+    val big = lit(java.lang.Integer.MAX_VALUE)
+    greatest(
+      meanOver(l, r),
+      meanOver(slice(l, lit(2), big), r),
+      meanOver(l, slice(r, lit(2), big)))
   }
 
   private def jwCol(a: Column, b: Column): Column = jaroWinkler(a, b)

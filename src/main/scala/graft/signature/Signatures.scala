@@ -54,7 +54,15 @@ object Signatures {
       .withColumn("tokens",
         when(length(col("sig_text")) === 0, array().cast("array<string>"))
           .otherwise(split(col("sig_text"), " ")))
+    // positional numeric tokens (reference: numeric_token_1..3,
+    // cleaning/steps/tokenisation.py:22-36) — document-order, so filler
+    // text cannot displace them the way it can displace rarity-ranked
+    // salient tokens
+    val numericToks = filter(col("tokens"), t => t.rlike("^[0-9]+$"))
     withText
+      .withColumn("numeric_token_1", try_element_at(numericToks, lit(1)))
+      .withColumn("numeric_token_2", try_element_at(numericToks, lit(2)))
+      .withColumn("numeric_token_3", try_element_at(numericToks, lit(3)))
       .withColumn("len_band", floor(log2(greatest(length(col("sig_text")), lit(1)))).cast("int"))
       .withColumn("role_shingles", wordNgrams(split(col("role_seq"), ""), 3))
       // MinHash over word-3-gram shingles (not unigram tokens): unrelated

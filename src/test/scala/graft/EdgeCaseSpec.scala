@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blocking.{Blocking, BlockingRule}
+import graft.evaluate.Evaluate
+import graft.refine.DistinguishingTokens
+import graft.score.Scoring
+import graft.signature.Signatures
+
+/** Port of the reference's edge-case corpus strategy
+  * (tests/test_edge_cases.yaml + test_edge_cases.py): curated messy
+  * conversation vs a candidate set, FIRST candidate is the true match; all
+  * candidates share one blocking key (like block_on("test_block")); the
+  * full clean -> score -> refine -> best-match path must pick candidate 1.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  type Conv = Seq[(String, String)]
+
+  // (name, messy conversation, candidates — first is truth)
+  val cases: Seq[(String, Conv, Seq[Conv])] = Seq(
+    ("punct_casing",
+      Seq("user" -> "how do i reset my password for ticket TCK-991",
+        "assistant" -> "go to settings then security"),
+      Seq(
+        Seq("user" -> "How do I reset my password for ticket TCK-991?",
+          "assistant" -> "Go to Settings > Security."),
+        Seq("user" -> "how do i reset my username for ticket TCK-991",
+          "assistant" -> "go to settings then profile"))),
+
+    ("truncation",
+      Seq("user" -> "deploy the billing pipeline to cluster NODE-7741",
+        "assistant" -> "starting deploy of billing pipeline",
+        "tool" -> "deploy finished in 42 seconds"),
+      Seq(
+        Seq("user" -> "deploy the billing pipeline to cluster NODE-7741",
+          "assistant" -> "starting deploy of billing pipeline"),
+        Seq("user" -> "deploy the reporting pipeline to cluster NODE-9900",
+          "assistant" -> "starting deploy of reporting pipeline",
+          "tool" -> "deploy finished in 7 seconds"))),
+
+    ("paraphrase",
+      Seq("user" -> "please check the backup schedule for database DB-5521",
+        "assistant" -> "the backup runs nightly at two"),
+      Seq(
+        Seq("user" -> "please verify the backup schedule for database DB-5521",
+          "assistant" -> "the backup runs nightly at two"),
+        Seq("user" -> "please check the restore schedule for database DB-7777",
+          "assistant" -> "the restore runs weekly at noon"))),
+
+    ("rare_token_wins",
+      Seq("user" -> "error code EX-31337 appears when saving the invoice"),
+      Seq(
+        Seq("user" -> "error code EX-31337 appears when printing the invoice"),
+        Seq("user" -> "error code EX-90210 appears when saving the invoice"))),
+
+    ("token_order_swap",
+      Seq("user" -> "merge the staging branch into the release branch REL-2024"),
+      Seq(
+        Seq("user" -> "merge the release branch into the staging branch REL-2024"),
+        Seq("user" -> "merge the hotfix branch into the main branch REL-1999"))),
+
+    ("extra_filler_turn",
+      Seq("user" -> "upgrade the certificate on endpoint EP-4411",
+        "assistant" -> "certificate upgraded successfully"),
+      Seq(
+        Seq("user" -> "upgrade the certificate on endpoint EP-4411",
+          "assistant" -> "one moment please",
+          "assistant" -> "certificate upgraded successfully"),
+        Seq("user" -> "upgrade the certificate on endpoint EP-5522",
+          "assistant" -> "certificate upgraded successfully"))),
+
+    ("numeric_token_decides",
+      Seq("user" -> "increase quota to 4000 units for account ACC-88"),
+      Seq(
+        Seq("user" -> "increase quota to 4000 units please for account ACC-88"),
+        Seq("user" -> "increase quota to 9000 units for account ACC-88"))),
+
+    ("whitespace_noise",
+      Seq("user" -> "export   the q3 report   as csv RPT-7120",
+        "assistant" -> "export complete"),
+      Seq(
+        Seq("user" -> "export the q3 report as csv RPT-7120",
+          "assistant" -> "export complete"),
+        Seq("user" -> "export the q4 report as pdf RPT-9999",
+          "assistant" -> "export complete")))
+  )
+
+  test("best match picks the true candidate on every edge case") {
+    // build a turn table: messy id m<i>, candidates c<i>_<j>; block key = case index
+    val rows = cases.zipWithIndex.flatMap { case ((_, messy, cands), i) =>
+      def turnsOf(cid: String, conv: Conv) = conv.zipWithIndex.map { case ((role, text), t) =>
+        (cid, t, role, text, null.asInstanceOf[String],
+          new java.sql.Timestamp(1700000000000L + t * 1000L))
+      }
+      turnsOf(f"m$i%03d", messy) ++
+        cands.zipWithIndex.flatMap { case (c, j) => turnsOf(f"c$i%03d_$j", c) }
+    }
+    val turns = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val sigsBase = Signatures.signatures(turns)
+    val tf = Signatures.tokenFrequencies(sigsBase)
+    val sigs = Signatures.attachTf(sigsBase, tf)
+      .withColumn("test_block", substring(col("conv_id"), 2, 3))
+
+    val messySide = sigs.filter(col("conv_id").startsWith("m"))
+    val candSide = sigs.filter(col("conv_id").startsWith("c"))
+    // candidates are the _l side (reference: l = canonical), messy = _r
+    val pairs = Blocking.candidatePairsLink(
+      candSide, messySide, "conv_id",
+      Seq(BlockingRule("test_block", col("test_block_l"), col("test_block_r"))),
+      maxBlockRows = 100,
+      carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
+        "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
+        "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
+        "numeric_token_1", "numeric_token_2", "numeric_token_3"))
+
+    val scored = Scoring.scoreDefault(pairs, 1e-6)
+      .select("conv_id_l", "conv_id_r", "match_weight", "match_probability",
+        "sig_text_l", "sig_text_r")
+    val refined = DistinguishingTokens.improve(scored,
+      DistinguishingTokens.Params(matchWeightThreshold = -100))
+    val best = Evaluate.bestMatches(refined)
+      .select("conv_id_r", "conv_id_l", "match_weight", "distinguishability")
+      .as[(String, String, Double, Option[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+
+    val failures = cases.zipWithIndex.flatMap { case ((name, _, _), i) =>
+      val got = best.get(f"m$i%03d")
+      val want = f"c$i%03d_0"
+      if (got.contains(want)) None else Some(s"$name: got $got want $want")
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}
