@@ -32,7 +32,7 @@ object DedupQueries {
     (s, dir) => {
       val d = load(s, dir, "documents")
       val withKey = d.select(col("doc_id"),
-        concat_ws("_", col("lang"), (col("n_chars") / 50).cast("int")).as("block_key"),
+        concat_ws("_", col("lang"), floor(col("n_chars") / 50).cast("int")).as("block_key"),
         array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
       withKey.as("l").join(withKey.as("r"),
           col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id"))
@@ -43,7 +43,7 @@ object DedupQueries {
     Some(s"""
       WITH t AS (
         SELECT doc_id,
-               lang || '_' || CAST(CAST(n_chars / 50 AS BIGINT) AS VARCHAR) AS block_key,
+               lang || '_' || CAST(CAST(floor(n_chars / 50) AS BIGINT) AS VARCHAR) AS block_key,
                list_distinct(list_transform(
                  list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
                  x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingles

@@ -99,4 +99,11 @@ final class StageMetricsListener extends org.apache.spark.scheduler.SparkListene
     }
     lines.mkString("\n")
   }
+
+  /** Per-partition lineage lines: records seen by each (stage, partition). */
+  def partitionLineage(): String = synchronized {
+    partitions.toSeq.sorted.map { case ((stage, part), recs) =>
+      s"""{"stage":$stage,"partition":$part,"records":$recs}"""
+    }.mkString("\n")
+  }
 }
