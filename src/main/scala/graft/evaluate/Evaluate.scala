@@ -42,6 +42,36 @@ object Evaluate {
       .drop("rn")
   }
 
+  /** Match-reason metrics: count + percentage per deterministic-pass reason
+    * (reference: post_linkage/analyse_results.py:24-45).
+    */
+  def matchReasonMetrics(annotated: DataFrame): DataFrame = {
+    val byReason = annotated
+      .groupBy(coalesce(col("match_reason"), lit("unmatched")).as("match_reason"))
+      .agg(count(lit(1)).as("match_count"))
+    byReason.withColumn("pct",
+      round(col("match_count") * 100.0 / sum(col("match_count")).over(Window.partitionBy()), 2))
+      .orderBy(col("match_count").desc, col("match_reason"))
+  }
+
+  /** Merge deterministic-cascade matches with probabilistic best matches:
+    * deterministic wins; probabilistic rows only for records the cascade
+    * did not resolve (reference: match_candidate_selection.py:100-130 —
+    * UNION ALL with a NOT IN guard, expressed as left_anti).
+    */
+  def mergeMatches(deterministic: DataFrame, probabilistic: DataFrame): DataFrame = {
+    val det = deterministic.select(
+      col("conv_id").as("conv_id_r"),
+      col("resolved_canonical_id").as("conv_id_l"),
+      col("match_reason"),
+      lit(null).cast("double").as("match_weight"))
+    val prob = probabilistic
+      .join(det.select("conv_id_r"), Seq("conv_id_r"), "left_anti")
+      .select(col("conv_id_r"), col("conv_id_l"),
+        lit("probabilistic").as("match_reason"), col("match_weight"))
+    det.unionByName(prob)
+  }
+
   /** Pairwise P/R/F1 on labeled pairs restricted to co-blocked candidate
     * pairs (the BASELINE gate is computed "on labeled pairs under the same
     * blocking keys").

@@ -87,6 +87,33 @@ object GraftFunctions {
     array(sigs: _*)
   }
 
+  /** Scalable MinHash: explode the element array, compute the k seeded
+    * hashes per (row, element) once, aggregate with groupBy-min (map-side
+    * combinable). The Column-expression `minhash` above re-inlines the
+    * element-array expression once per seed (CollapseProject + HOF lambdas
+    * defeat common-subexpression elimination), which multiplies the
+    * shingle+hash cost by k — measured 300s vs seconds at sf0.1.
+    *
+    * @return DataFrame(idCol, sigCol: array<long>) — one row per input row
+    *         with a non-empty element array.
+    */
+  def minhashAggregate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      elems: Column,
+      k: Int,
+      portable: Boolean = false,
+      sigCol: String = "minhash_sig"): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(idCol), explode(elems).as("__e"))
+    val hashCols = (0 until k).map { s =>
+      (if (portable) portableHash64(col("__e"), s) else fastHash64(col("__e"), s)).as(s"__h$s")
+    }
+    exploded.select(col(idCol) +: hashCols: _*)
+      .groupBy(col(idCol))
+      .agg(min(col("__h0")).as("__m0"), (1 until k).map(s => min(col(s"__h$s")).as(s"__m$s")): _*)
+      .select(col(idCol), array((0 until k).map(s => col(s"__m$s")): _*).as(sigCol))
+  }
+
   /** LSH band keys from a MinHash signature: `bands` keys, each hashing
     * `rowsPerBand` consecutive signature slots together with the band index.
     */

@@ -90,9 +90,11 @@ object DedupQueries {
       (s, dir) => {
         val d = load(s, dir, "documents")
         val shingles = array_distinct(wordNgrams(tokens(col("text")), 3))
-        val sig = d.select(col("doc_id"),
-          minhashBandKeys(minhash(shingles, MinhashK, portable = true),
-            Bands, RowsPerBand).as("bands"))
+        val sig = minhashAggregate(
+          d.select(col("doc_id"), shingles.as("__sh")),
+          "doc_id", col("__sh"), MinhashK, portable = true)
+          .select(col("doc_id"),
+            minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand).as("bands"))
         val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
         exploded.as("l").join(exploded.as("r"),
             col("l.band_key") === col("r.band_key") && col("l.doc_id") < col("r.doc_id"))

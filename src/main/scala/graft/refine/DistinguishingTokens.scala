@@ -34,7 +34,13 @@ object DistinguishingTokens {
       punishmentMultiplier: Double = 1.5,
       bigramRewardMultiplier: Double = 3,
       bigramPunishmentMultiplier: Double = 1.5,
-      missingTokenPenalty: Double = 0.1)
+      missingTokenPenalty: Double = 0.1,
+      /** tokens stripped (up to twice) from each side's tail before the
+        * analysis — the reference's remove_common_end_tokens step
+        * (identify_distinguishing_tokens.py:58-113; the double list_filter
+        * removes at most two trailing common tokens).
+        */
+      commonEndTokens: Seq[String] = Nil)
 
   /** Histogram map<string,int> of a (possibly duplicated) token array. */
   private def hist(arr: Column): Column = histMap(arr)
@@ -57,10 +63,20 @@ object DistinguishingTokens {
       .filter(col("__rn") <= params.topNMatches).drop("__rn")
 
     // Step 3-4: tokenise both sides (texts are already normalised upstream;
-    // re-split defensively like the reference re-tokenises).
+    // re-split defensively like the reference re-tokenises), stripping up
+    // to two trailing common end tokens per side (reference applies its
+    // tail filter twice — identify_distinguishing_tokens.py:93-94).
+    def stripCommonTail(toks: Column): Column =
+      if (params.commonEndTokens.isEmpty) toks
+      else {
+        def stripOnce(c: Column): Column =
+          when(try_element_at(c, lit(-1)).isin(params.commonEndTokens: _*),
+            slice(c, lit(1), size(c) - 1)).otherwise(c)
+        stripOnce(stripOnce(toks))
+      }
     val tokenised = topN
-      .withColumn("tokens_l", tokens(col("sig_text_l")))
-      .withColumn("tokens_r", tokens(col("sig_text_r")))
+      .withColumn("tokens_l", stripCommonTail(tokens(col("sig_text_l"))))
+      .withColumn("tokens_r", stripCommonTail(tokens(col("sig_text_r"))))
 
     // Step 5: per-messy-record block pool — flatten all candidate (l)
     // tokens, histogram, keep tokens also in r; bigram analogues

@@ -59,19 +59,44 @@ object Signatures {
     // text cannot displace them the way it can displace rarity-ranked
     // salient tokens
     val numericToks = filter(col("tokens"), t => t.rlike("^[0-9]+$"))
-    withText
+    val base = withText
       .withColumn("numeric_token_1", try_element_at(numericToks, lit(1)))
       .withColumn("numeric_token_2", try_element_at(numericToks, lit(2)))
       .withColumn("numeric_token_3", try_element_at(numericToks, lit(3)))
       .withColumn("len_band", floor(log2(greatest(length(col("sig_text")), lit(1)))).cast("int"))
       .withColumn("role_shingles", wordNgrams(split(col("role_seq"), ""), 3))
-      // MinHash over word-3-gram shingles (not unigram tokens): unrelated
-      // records sharing a vocabulary still have near-disjoint shingle sets,
-      // so LSH bands stay selective (candidate-pair count is THE scale
-      // driver; shingle->minhash->band is the standard near-dup design)
-      .withColumn("minhash_sig", minhash(array_distinct(wordNgrams(col("tokens"), 3)), MinhashK))
-      .withColumn("minhash_bands", minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand))
       .withColumn("bk_role_len", concat_ws("#", col("role_seq"), col("len_band")))
+    // MinHash over word-3-gram shingles (not unigram tokens): unrelated
+    // records sharing a vocabulary still have near-disjoint shingle sets,
+    // so LSH bands stay selective (candidate-pair count is THE scale
+    // driver; shingle->minhash->band is the standard near-dup design).
+    // Computed via explode+groupBy-min — the Column-expression form
+    // re-inlines the shingle pipeline once per hash seed (see
+    // GraftFunctions.minhashAggregate).
+    val mh = minhashAggregate(
+      base.select(col("conv_id"), array_distinct(wordNgrams(col("tokens"), 3)).as("__sh")),
+      "conv_id", col("__sh"), MinhashK)
+    base.join(mh, Seq("conv_id"), "left")
+      .withColumn("minhash_sig",
+        coalesce(col("minhash_sig"), array_repeat(lit(Long.MaxValue), MinhashK)))
+      .withColumn("minhash_bands", minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand))
+  }
+
+  /** Corpus-level common END tokens: tokens that terminate more than
+    * `minShare` of all records (reference: common_end_tokens resource +
+    * trailing-token analysis, cleaning/steps/term_frequencies.py:147-212).
+    * Result is vocabulary-sized — collected to the driver for use as a
+    * literal filter in the second pass.
+    */
+  def commonEndTokens(sigs: DataFrame, minShare: Double = 0.05): Seq[String] = {
+    val lastTok = sigs
+      .select(try_element_at(col("tokens"), lit(-1)).as("tok"))
+      .filter(col("tok").isNotNull)
+    val total = lastTok.count().max(1L)
+    lastTok.groupBy(col("tok")).count()
+      .filter(col("count") > total * minShare)
+      .orderBy(col("count").desc, col("tok"))
+      .select("tok").collect().map(_.getString(0)).toSeq
   }
 
   /** On-the-fly token relative-frequency table (reference mode
