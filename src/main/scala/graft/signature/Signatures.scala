@@ -24,8 +24,8 @@ import graft.functions.GraftFunctions._
   */
 object Signatures {
 
-  val MinhashK = 12
-  val Bands = 3
+  val MinhashK = 16
+  val Bands = 4
   val RowsPerBand = 4
 
   /** TF-attach miss default (reference: term_frequencies.py:104-111). */
