@@ -36,7 +36,14 @@ object Pipeline {
       edgeThreshold: Double = -6.0,
       topN: Int = 5,
       prior: Double = 1e-6,
+      /** hot-block tiering (north_rule "salted hot-block splitting"):
+        * blocks <= maxBlockRows join plainly, <= maxBlockRows*maxSaltFactor
+        * join salted (no recall loss), above that sorted-neighborhood
+        * salvage on sig_text order replaces the round-1 drop-at-cap.
+        */
       maxBlockRows: Int = 200,
+      maxSaltFactor: Int = 8,
+      snmWindow: Int = 20,
       useSecondPass: Boolean = true,
       checkpointDir: Option[String] = None)
 
@@ -46,6 +53,15 @@ object Pipeline {
       scored: DataFrame,
       refined: DataFrame,
       clusters: DataFrame)
+
+  final case class LinkResult(
+      messySignatures: DataFrame,
+      canonicalSignatures: DataFrame,
+      deterministic: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      bestMatches: DataFrame,
+      merged: DataFrame)
 
   /** Columns carried through blocking into scoring. */
   private val scoreCols = Seq(
@@ -88,7 +104,8 @@ object Pipeline {
       Blocking.candidatePairsSelf(
         sigs, "conv_id",
         Blocking.defaultRules(Signatures.Bands),
-        maxBlockRows = cfg.maxBlockRows,
+        Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
+          snmSortCol = Some("sig_text")),
         carryCols = scoreCols)
     }
 
@@ -123,5 +140,86 @@ object Pipeline {
     }
 
     Result(sigs, pairs, scored, refined, clusters)
+  }
+
+  /** Link-mode pipeline: match each messy conversation to its best
+    * canonical counterpart (the reference's primary entrypoint —
+    * examples/example_matching.py:99-111 composed over
+    * matching_stages.py + splink_model.py + match_candidate_selection.py):
+    *
+    *   1. signatures for both sides, TF table from the canonical corpus
+    *      (the stable side — messy batches come and go);
+    *   2. deterministic exact cascade messy -> canonical;
+    *   3. blocking (canonical = _l, messy = _r) for UNMATCHED messy only
+    *      (carry-forward semi-filter, reference input_filters.py);
+    *   4. Fellegi-Sunter score + distinguishing-token second pass;
+    *   5. best match per messy record (threshold + tie-break);
+    *   6. merge: deterministic wins, probabilistic fills the rest
+    *      (match_candidate_selection.py:100-130).
+    */
+  def runLink(
+      spark: SparkSession,
+      messyTurns: DataFrame,
+      canonicalTurns: DataFrame,
+      cfg: Config = Config()): LinkResult = {
+    val ckpt = cfg.checkpointDir.map(new Checkpoints(spark, _))
+    def staged(name: String)(compute: => DataFrame): DataFrame =
+      ckpt.map(_.stage(name)(compute)).getOrElse(compute.localCheckpoint(true))
+
+    // 1. signatures; one TF table (canonical corpus) applied to both sides
+    // so a token's rarity means the same thing on each side of a pair.
+    val canonSigs = staged("link_canon_sigs") {
+      val s0 = Signatures.signatures(canonicalTurns)
+      Signatures.attachTf(s0, Signatures.tokenFrequencies(s0))
+        .withColumn("block_key", col("bk_role_len"))
+    }.persist()
+    val messySigs = staged("link_messy_sigs") {
+      val s0 = Signatures.signatures(messyTurns)
+      // TF from the already-materialised canonical signatures (tokens col)
+      Signatures.attachTf(s0, Signatures.tokenFrequencies(canonSigs))
+        .withColumn("block_key", col("bk_role_len"))
+    }.persist()
+
+    // 2. deterministic cascade
+    val det = staged("link_cascade") {
+      ExactCascade.run(
+        messySigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+        canonSigs.select(col("conv_id"), col("sig_text"), col("block_key")))
+    }
+
+    // 3. blocking on the carry-forward (unmatched messy records only)
+    val pairs = staged("link_pairs") {
+      val remaining = messySigs.join(det.select("conv_id"), Seq("conv_id"), "left_anti")
+      Blocking.candidatePairsLink(
+        canonSigs, remaining, "conv_id",
+        Blocking.defaultRules(Signatures.Bands),
+        Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
+          snmSortCol = Some("sig_text")),
+        carryCols = scoreCols)
+    }
+
+    // 4. score + second pass
+    val scored = staged("link_scored") {
+      Scoring.scoreDefault(pairs, cfg.prior)
+        .filter(col("match_weight") > cfg.predictThreshold)
+        .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
+          "match_probability", "sig_text_l", "sig_text_r")
+    }
+    val refined = staged("link_refined") {
+      if (!cfg.useSecondPass) scored
+      else DistinguishingTokens.improve(scored,
+        DistinguishingTokens.Params(
+          matchWeightThreshold = cfg.improveThreshold, topNMatches = cfg.topN))
+        .select("conv_id_l", "conv_id_r", "match_weight")
+    }
+
+    // 5-6. best match + merge
+    val best = staged("link_best") {
+      graft.evaluate.Evaluate.bestMatches(refined)
+    }
+    val merged = staged("link_merged") {
+      graft.evaluate.Evaluate.mergeMatches(det, best)
+    }
+    LinkResult(messySigs, canonSigs, det, pairs, scored, best, merged)
   }
 }

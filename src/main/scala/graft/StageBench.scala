@@ -47,7 +47,7 @@ object StageBench {
     println(s"  cascade_links=${cascade.count()}")
     val pairs = timed("blocking")(mat(graft.blocking.Blocking.candidatePairsSelf(
       sigs, "conv_id", graft.blocking.Blocking.defaultRules(graft.signature.Signatures.Bands),
-      maxBlockRows = 200,
+      graft.blocking.Blocking.SkewConfig(maxBlockRows = 200, snmSortCol = Some("sig_text")),
       carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
         "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
         "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",

@@ -1,6 +1,7 @@
 package graft.blocking
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Candidate-pair generation: union of equi-join blocking rules with
@@ -9,15 +10,30 @@ import org.apache.spark.sql.functions._
   * data/splink_model.json:16-89; SURVEY.md §2.3 "THE scalability-critical
   * operator").
   *
-  * Scale design (10^12 turns / ~10^11 conversations):
-  *  - every rule is a single string-keyed equi-join => Catalyst picks
-  *    sort-merge (or broadcast for a small canonical side), AQE handles
-  *    residual skew;
-  *  - stop-block capping: keys whose block size exceeds `maxBlockRows` are
-  *    dropped (LSH stop-word analogue) — an O(pairs) guard, since a single
-  *    hot key at 10^6 rows would otherwise emit 10^12 pairs;
-  *  - explicit repartition on the join key before the join keeps the
-  *    exchange reusable across rules that share a key.
+  * Skew handling (north_rule: "salted hot-block splitting") is tiered by
+  * per-rule block size c against `maxBlockRows`:
+  *
+  *   1. c <= cap: plain equi-join (sort-merge / broadcast via Catalyst+AQE).
+  *   2. cap < c <= cap * maxSaltFactor: SALTED join — the left row keeps one
+  *      deterministic salt `pmod(xxhash64(id), g)`, the right row is
+  *      replicated to all g salts, and the join key becomes (key, salt).
+  *      Every pair with equal keys is still emitted exactly once (the left
+  *      row's salt bucket), so recall is IDENTICAL to the unsalted join,
+  *      but the hot key's work is spread over g reducer partitions instead
+  *      of one straggler.
+  *   3. c > cap * maxSaltFactor ("ultra-hot"): pair count is inherently
+  *      quadratic (a 10^6-row key emits 10^12 pairs — no salting saves
+  *      that), so these keys are routed through sorted-neighborhood pairing
+  *      (O(n * window), `snmWindow`) instead of being dropped; the salvage
+  *      pairs carry match_key = rules.length + ruleIndex so the affected
+  *      volume is observable in match-key metrics downstream.
+  *
+  * Exclusion exactness: rule-j exclusion tests raw key equality, which is
+  * only correct when rule j actually emits ALL equal-key pairs. Tiers 1-2
+  * preserve that property. Ultra-hot keys do not — so they are NULLED on
+  * both sides before any join: rule j neither emits nor excludes on them
+  * (a pair sharing only an ultra-hot key is salvaged by SNM, never
+  * silently lost — the round-1 recall bug flagged in ADVICE.md).
   */
 final case class BlockingRule(name: String, leftKey: Column, rightKey: Column)
 
@@ -69,22 +85,30 @@ object Blocking {
     base ++ bandRules
   }
 
+  /** Skew-handling knobs (see object doc). `snmSortCol` is the pre-suffix
+    * name of the column sorted-neighborhood orders by inside an ultra-hot
+    * block (a content column like sig_text groups near-duplicates
+    * adjacently; defaults to the id, which is deterministic but blind).
+    */
+  final case class SkewConfig(
+      maxBlockRows: Int = 1000,
+      maxSaltFactor: Int = 8,
+      snmWindow: Int = 20,
+      snmSortCol: Option[String] = None)
+
   /** Generate candidate pairs for self-dedup: `id_l < id_r`, one row per
-    * pair with the first matching rule's index as `match_key`.
-    *
-    * @param sigs          signature table with an `idCol` unique id
-    * @param rules         blocking rules (keys written against _l/_r column names)
-    * @param maxBlockRows  stop-block cap per rule key (skew guard)
+    * pair with the first matching rule's index as `match_key` (ultra-hot
+    * SNM salvage pairs get rules.length + ruleIndex).
     */
   def candidatePairsSelf(
       sigs: DataFrame,
       idCol: String,
       rules: Seq[BlockingRule],
-      maxBlockRows: Int = 1000,
+      skew: SkewConfig = SkewConfig(),
       carryCols: Seq[String] = Nil): DataFrame = {
     val l = sigs.toDF(sigs.columns.map(_ + "_l"): _*)
     val r = sigs.toDF(sigs.columns.map(_ + "_r"): _*)
-    candidatePairs(l, r, idCol, rules, maxBlockRows, selfDedup = true, carryCols)
+    candidatePairs(l, r, idCol, rules, skew, selfDedup = true, carryCols)
   }
 
   /** Link-mode (messy x canonical) pair generation. */
@@ -93,19 +117,18 @@ object Blocking {
       right: DataFrame,
       idCol: String,
       rules: Seq[BlockingRule],
-      maxBlockRows: Int = 1000,
+      skew: SkewConfig = SkewConfig(),
       carryCols: Seq[String] = Nil): DataFrame = {
     val l = left.toDF(left.columns.map(_ + "_l"): _*)
     val r = right.toDF(right.columns.map(_ + "_r"): _*)
-    candidatePairs(l, r, idCol, rules, maxBlockRows, selfDedup = false, carryCols)
+    candidatePairs(l, r, idCol, rules, skew, selfDedup = false, carryCols)
   }
 
   /** Sorted-neighborhood pairing inside a (possibly hot) block: sort block
     * members by a secondary key and pair only rows within `windowSize`
     * positions of each other. Output is O(n * window) instead of O(n^2) —
-    * the salvage path for blocks the stop-block cap would otherwise drop
-    * entirely (classic ER sorted-neighborhood method; complements the
-    * reference's hard group-size caps).
+    * the salvage path for ultra-hot blocks (classic ER sorted-neighborhood
+    * method; complements the reference's hard group-size caps).
     */
   def sortedNeighborhoodPairs(
       df: DataFrame,
@@ -118,8 +141,7 @@ object Blocking {
       .withColumn("__sk", sortKey)
       .filter(col("__bk").isNotNull)
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__bk")).orderBy(col("__sk").asc, col(idCol).asc)))
+        Window.partitionBy(col("__bk")).orderBy(col("__sk").asc, col(idCol).asc)))
     val l = ranked.select(col("__bk").as("__bk_l"), col("__rn").as("__rn_l"),
       col(idCol).as(s"${idCol}_l"))
     val r = ranked.select(col("__bk").as("__bk_r"), col("__rn").as("__rn_r"),
@@ -145,59 +167,180 @@ object Blocking {
       r: DataFrame,
       idCol: String,
       rules: Seq[BlockingRule],
-      maxBlockRows: Int,
+      skew: SkewConfig,
       selfDedup: Boolean,
       carryCols: Seq[String]): DataFrame = {
+    val cap = skew.maxBlockRows
+    val ultraCap = cap.toLong * skew.maxSaltFactor
 
-    // materialise every rule's key as a column once per side, so the
-    // earlier-rule exclusion predicates are cheap column references.
+    // materialise every rule's key as a string column once per side, so the
+    // earlier-rule exclusion predicates are cheap column references and the
+    // hot-key tables (always string-keyed) join without implicit casts.
     val lKeyed = rules.zipWithIndex.foldLeft(l) { case (df, (rule, i)) =>
-      df.withColumn(s"__bk_$i", rule.leftKey)
+      df.withColumn(s"__bk_$i", rule.leftKey.cast("string"))
     }
     val rKeyed = rules.zipWithIndex.foldLeft(r) { case (df, (rule, i)) =>
-      df.withColumn(s"__bk_$i", rule.rightKey)
+      df.withColumn(s"__bk_$i", rule.rightKey.cast("string"))
     }
 
     val outCols =
       Seq(col(s"${idCol}_l"), col(s"${idCol}_r"), col("match_key")) ++
         carryCols.flatMap(c => Seq(col(c + "_l"), col(c + "_r")))
 
-    // stop-block capping (skew guard): keys whose block exceeds the cap are
-    // dropped — mirrors the reference's group-size bounding (top_n per
-    // group) and standard LSH stop-block practice. ALL rules' hot keys are
-    // found in ONE pass over the exploded (rule, key) stream per side —
-    // a single scan regardless of rule count (matters at 100 TB).
-    def hotKeys(df: org.apache.spark.sql.DataFrame) = df
+    // ALL rules' per-key block sizes in ONE pass over the exploded
+    // (rule, key) stream per side — a single scan regardless of rule count
+    // (matters at 100 TB). For link mode a key's tier is driven by the
+    // larger side (pair count ~ cl * cr).
+    def keyCounts(df: DataFrame) = df
       .select(explode(array(rules.indices.map(i =>
         struct(lit(i).as("rule"), col(s"__bk_$i").as("key"))): _*)).as("rk"))
       .filter(col("rk.key").isNotNull)
       .groupBy(col("rk.rule").as("rule"), col("rk.key").as("key"))
       .count()
-      .filter(col("count") > maxBlockRows)
-      .select(col("rule"), col("key"))
-    val hotL = hotKeys(lKeyed).persist()
-    val hotR = if (selfDedup) hotL else hotKeys(rKeyed).persist()
+    val counts =
+      if (selfDedup) keyCounts(lKeyed)
+      else keyCounts(lKeyed).unionByName(keyCounts(rKeyed))
+        .groupBy("rule", "key").agg(max(col("count")).as("count"))
+    val hot = counts.filter(col("count") > cap).persist()
+    val saltInfo = hot.filter(col("count") <= ultraCap)
+      .select(col("rule"), col("key"),
+        ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"))
+    val ultra = hot.filter(col("count") > ultraCap).select(col("rule"), col("key"))
 
-    val perRule = rules.indices.map { i =>
-      val hotLKeys = broadcast(hotL.filter(col("rule") === i).select(col("key").as(s"__bk_$i")))
-      val hotRKeys = broadcast(hotR.filter(col("rule") === i).select(col("key").as(s"__bk_$i")))
-      val lSide = lKeyed.filter(col(s"__bk_$i").isNotNull)
-        .join(hotLKeys, Seq(s"__bk_$i"), "left_anti")
-      val rSide = rKeyed.filter(col(s"__bk_$i").isNotNull)
-        .join(hotRKeys, Seq(s"__bk_$i"), "left_anti")
+    // Null ultra-hot keys on BOTH sides before any join: the rule neither
+    // emits nor excludes on them (exclusion on a key whose pairs were not
+    // fully emitted would silently lose recall — ADVICE.md round 1).
+    def nullUltra(df: DataFrame): DataFrame = rules.indices.foldLeft(df) { (d, i) =>
+      val u = broadcast(ultra.filter(col("rule") === i)
+        .select(col("key").as(s"__uk_$i"), lit(true).as(s"__uh_$i")))
+      d.join(u, d(s"__bk_$i") === col(s"__uk_$i"), "left")
+        .withColumn(s"__bk_$i",
+          when(col(s"__uh_$i"), lit(null)).otherwise(col(s"__bk_$i")))
+        .drop(s"__uk_$i", s"__uh_$i")
+    }
+    val lK = nullUltra(lKeyed)
+    val rK = nullUltra(rKeyed)
 
-      val joinCond =
-        if (selfDedup)
-          lSide(s"__bk_$i") === rSide(s"__bk_$i") && col(s"${idCol}_l") < col(s"${idCol}_r")
-        else lSide(s"__bk_$i") === rSide(s"__bk_$i")
-
-      val joined = lSide.join(rSide, joinCond)
-      val excluded = (0 until i).foldLeft(joined) { (df, j) =>
+    def excludeEarlier(joined: DataFrame, lSide: DataFrame, rSide: DataFrame, i: Int) =
+      (0 until i).foldLeft(joined) { (df, j) =>
         df.filter(not(coalesce(lSide(s"__bk_$j") === rSide(s"__bk_$j"), lit(false))))
       }
-      excluded.withColumn("match_key", lit(i)).select(outCols: _*)
-    }
 
-    perRule.reduce(_ unionByName _)
+    val perRule = rules.indices.map { i =>
+      val saltKeysI = broadcast(saltInfo.filter(col("rule") === i)
+        .select(col("key").as(s"__bk_$i"), col("g")))
+
+      // ---- tier 1: plain join on cool keys (salt-tier keys excluded here,
+      // they are emitted by the salted join below; ultra keys already null).
+      val lCool = lK.filter(col(s"__bk_$i").isNotNull)
+        .join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
+      val rCool = rK.filter(col(s"__bk_$i").isNotNull)
+        .join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
+      val coolCond =
+        if (selfDedup)
+          lCool(s"__bk_$i") === rCool(s"__bk_$i") && col(s"${idCol}_l") < col(s"${idCol}_r")
+        else lCool(s"__bk_$i") === rCool(s"__bk_$i")
+      val cool = excludeEarlier(lCool.join(rCool, coolCond), lCool, rCool, i)
+
+      // ---- tier 2: salted join. Left keeps one salt, right replicates to
+      // all g salts — every equal-key pair still emitted exactly once, but
+      // spread across g reducer partitions.
+      val lSalt = lK.join(saltKeysI, Seq(s"__bk_$i"))
+        .withColumn("__salt", pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int"))
+        .drop("g")
+      val rSalt = rK.join(saltKeysI, Seq(s"__bk_$i"))
+        .withColumn("__salt", explode(sequence(lit(0), col("g") - 1)))
+        .drop("g")
+      val saltCond0 = lSalt(s"__bk_$i") === rSalt(s"__bk_$i") &&
+        lSalt("__salt") === rSalt("__salt")
+      val saltCond =
+        if (selfDedup) saltCond0 && col(s"${idCol}_l") < col(s"${idCol}_r") else saltCond0
+      val salted = excludeEarlier(lSalt.join(rSalt, saltCond), lSalt, rSalt, i)
+
+      cool.withColumn("match_key", lit(i)).select(outCols: _*)
+        .unionByName(salted.withColumn("match_key", lit(i)).select(outCols: _*))
+    }
+    val mainPairs = perRule.reduce(_ unionByName _)
+
+    // ---- tier 3: sorted-neighborhood salvage over ultra-hot blocks.
+    val snm = snmSalvage(lKeyed, rKeyed, ultra, rules, idCol, skew, selfDedup)
+    snm match {
+      case None => mainPairs
+      case Some(s) =>
+        // exactly-once overall: a salvage pair already emitted by a cool /
+        // salted rule is dropped (salvage volume is rare by construction,
+        // so this anti-join is cheap relative to mainPairs).
+        val ids = Seq(s"${idCol}_l", s"${idCol}_r")
+        val dedup = s.join(mainPairs.select(ids.head, ids.tail: _*), ids, "left_anti")
+        // attach carry columns back from the keyed sides (one row per id)
+        val withCarry = {
+          val lCarry = lKeyed.select((col(s"${idCol}_l") +: carryCols.map(c => col(c + "_l"))): _*)
+          val rCarry = rKeyed.select((col(s"${idCol}_r") +: carryCols.map(c => col(c + "_r"))): _*)
+          dedup.join(lCarry, Seq(s"${idCol}_l")).join(rCarry, Seq(s"${idCol}_r"))
+        }
+        mainPairs.unionByName(withCarry.select(outCols: _*))
+    }
+  }
+
+  /** Sorted-neighborhood pairs for rows whose rule-key is ultra-hot:
+    * one window pass per rule over only the affected rows; self-dedup pairs
+    * ordered id_l < id_r, link-mode pairs cross-side only. Returns
+    * (id_l, id_r, match_key = rules.length + rule) or None when no rule can
+    * have ultra keys (ultra is lazily evaluated — the plan is built
+    * unconditionally and unioned; empty ultra just yields zero rows).
+    */
+  private def snmSalvage(
+      lKeyed: DataFrame,
+      rKeyed: DataFrame,
+      ultra: DataFrame,
+      rules: Seq[BlockingRule],
+      idCol: String,
+      skew: SkewConfig,
+      selfDedup: Boolean): Option[DataFrame] = {
+    val sortL = skew.snmSortCol.map(c => col(c + "_l")).getOrElse(col(s"${idCol}_l"))
+    val sortR = skew.snmSortCol.map(c => col(c + "_r")).getOrElse(col(s"${idCol}_r"))
+
+    val perRule = rules.indices.map { i =>
+      val uk = broadcast(ultra.filter(col("rule") === i).select(col("key").as("__ukey")))
+      val rows =
+        if (selfDedup)
+          lKeyed.join(uk, lKeyed(s"__bk_$i") === col("__ukey"), "left_semi")
+            .select(col(s"__bk_$i").as("__k"),
+              col(s"${idCol}_l").as("__id"), sortL.as("__sort"), lit("l").as("__side"))
+        else {
+          val a = lKeyed.join(uk, lKeyed(s"__bk_$i") === col("__ukey"), "left_semi")
+            .select(col(s"__bk_$i").as("__k"),
+              col(s"${idCol}_l").as("__id"), sortL.as("__sort"), lit("l").as("__side"))
+          val b = rKeyed.join(uk, rKeyed(s"__bk_$i") === col("__ukey"), "left_semi")
+            .select(col(s"__bk_$i").as("__k"),
+              col(s"${idCol}_r").as("__id"), sortR.as("__sort"), lit("r").as("__side"))
+          a.unionByName(b)
+        }
+      val ranked = rows.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col("__sort").asc, col("__side").asc, col("__id").asc)))
+      val a = ranked.select(col("__k").as("__k_a"), col("__rn").as("__rn_a"),
+        col("__id").as("__id_a"), col("__side").as("__side_a"))
+      val b = ranked.select(col("__k").as("__k_b"), col("__rn").as("__rn_b"),
+        col("__id").as("__id_b"), col("__side").as("__side_b"))
+      val windowed = a.join(b, col("__k_a") === col("__k_b") &&
+        col("__rn_b") > col("__rn_a") && col("__rn_b") <= col("__rn_a") + skew.snmWindow)
+      val pairs =
+        if (selfDedup)
+          windowed.select(
+            least(col("__id_a"), col("__id_b")).as(s"${idCol}_l"),
+            greatest(col("__id_a"), col("__id_b")).as(s"${idCol}_r"))
+        else
+          windowed.filter(col("__side_a") =!= col("__side_b"))
+            .select(
+              when(col("__side_a") === "l", col("__id_a")).otherwise(col("__id_b"))
+                .as(s"${idCol}_l"),
+              when(col("__side_a") === "l", col("__id_b")).otherwise(col("__id_a"))
+                .as(s"${idCol}_r"))
+      pairs.withColumn("match_key", lit(rules.length + i))
+    }
+    if (perRule.isEmpty) None
+    else Some(perRule.reduce(_ unionByName _)
+      .groupBy(col(s"${idCol}_l"), col(s"${idCol}_r"))
+      .agg(min(col("match_key")).as("match_key")))
   }
 }

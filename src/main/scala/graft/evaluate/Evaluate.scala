@@ -72,6 +72,42 @@ object Evaluate {
     det.unionByName(prob)
   }
 
+  /** Per-match-reason accuracy against labels, with a GROUPING SETS
+    * OVERALL row (reference: benchmarking/analysis/accuracy.py:29-66 +
+    * accuracy_from_labels.py:300-371).
+    *
+    * @param matches (conv_id_r, conv_id_l, match_reason) — one row per
+    *                matched record (e.g. `mergeMatches` output)
+    * @param labels  (conv_id, correct_conv_id) ground truth
+    * @return (match_reason incl. "OVERALL", n_matches, n_correct, accuracy)
+    */
+  def accuracyByReason(matches: DataFrame, labels: DataFrame): DataFrame = {
+    val joined = matches.join(
+        labels.select(col("conv_id").as("conv_id_r"), col("correct_conv_id")),
+        Seq("conv_id_r"))
+      .withColumn("is_correct",
+        (col("conv_id_l") === col("correct_conv_id")).cast("int"))
+    joined
+      .groupingSets(Seq(Seq(col("match_reason")), Seq()), col("match_reason"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("is_correct")).as("n_correct"))
+      .select(
+        coalesce(col("match_reason"), lit("OVERALL")).as("match_reason"),
+        col("n_matches"), col("n_correct"),
+        round(col("n_correct") * 100.0 / col("n_matches"), 4).as("accuracy_pct"))
+  }
+
+  /** The nth false-positive example in deterministic (conv_id_r) order —
+    * the reference's LIMIT 1 OFFSET n drill-down
+    * (accuracy_from_labels.py:62-81). n is 0-based.
+    */
+  def nthFalsePositive(matches: DataFrame, labels: DataFrame, n: Int): DataFrame =
+    matches.join(
+        labels.select(col("conv_id").as("conv_id_r"), col("correct_conv_id")),
+        Seq("conv_id_r"))
+      .filter(col("conv_id_l") =!= col("correct_conv_id"))
+      .orderBy(col("conv_id_r").asc, col("conv_id_l").asc)
+      .offset(n).limit(1)
+
   /** Pairwise P/R/F1 on labeled pairs restricted to co-blocked candidate
     * pairs (the BASELINE gate is computed "on labeled pairs under the same
     * blocking keys").

@@ -34,8 +34,16 @@ object DedupQueries {
       val withKey = d.select(col("doc_id"),
         concat_ws("_", col("lang"), floor(col("n_chars") / 50).cast("int")).as("block_key"),
         array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
+      // size-ratio prune inside the join condition: jaccard <= min/max, so
+      // min < 0.2 * max can never reach the 0.2 threshold — the expensive
+      // array_intersect is skipped for size-incompatible pairs with zero
+      // output change.
+      val sizeCompatible =
+        least(size(col("l.shingles")), size(col("r.shingles"))).cast("double") >=
+          lit(0.2) * greatest(size(col("l.shingles")), size(col("r.shingles")))
       withKey.as("l").join(withKey.as("r"),
-          col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id"))
+          col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id") &&
+            sizeCompatible)
         .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"),
           round(jaccard(col("l.shingles"), col("r.shingles")), 8).as("jaccard3"))
         .filter(col("jaccard3") >= 0.2)
@@ -56,6 +64,63 @@ object DedupQueries {
       WHERE round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
                   greatest(len(list_distinct(l.shingles || r.shingles)), 1), 8) >= 0.2
     """)
+  )
+
+  /** q19b: the 100-TB scale path for q19 — MinHash-LSH candidate
+    * generation (q17 kernel, k=16 / 8 bands x 2 rows for better recall at
+    * the 0.2 threshold: P(candidate | s) = 1-(1-s^2)^8, ~0.90 at s=0.5,
+    * ~1.0 at s>=0.8) followed by exact-Jaccard verification on candidates
+    * ONLY. Candidate volume scales with true near-dup density instead of
+    * block-size^2. Standalone so q29 uses it as its edge generator.
+    */
+  val LshK = 16
+  val LshBands = 8
+  val LshRows = 2
+
+  val q19bDef: QueryDef = QueryDef(
+    "q19b_lsh_jaccard",
+    (s, dir) => {
+      val d = load(s, dir, "documents")
+      val withSh = d.select(col("doc_id"),
+        array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
+      val sig = minhashAggregate(withSh, "doc_id", col("shingles"), LshK, portable = true)
+        .select(col("doc_id"), minhashBandKeys(col("minhash_sig"), LshBands, LshRows).as("bands"))
+      val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+      val cand = exploded.as("l").join(exploded.as("r"),
+          col("l.band_key") === col("r.band_key") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"))
+        .distinct()
+      val shL = withSh.select(col("doc_id").as("doc_id_l"), col("shingles").as("sh_l"))
+      val shR = withSh.select(col("doc_id").as("doc_id_r"), col("shingles").as("sh_r"))
+      cand.join(shL, Seq("doc_id_l")).join(shR, Seq("doc_id_r"))
+        .select(col("doc_id_l"), col("doc_id_r"),
+          round(jaccard(col("sh_l"), col("sh_r")), 8).as("jaccard3"))
+        .filter(col("jaccard3") >= 0.2)
+    },
+    Some {
+      val sigElems = (0 until LshK)
+        .map(k => s"list_min(list_transform(sh, t -> ${duckHash("t", k)}))").mkString(", ")
+      val bandKeys = (0 until LshBands)
+        .map(b => s"concat_ws('_', ${b}, sig[${b * LshRows + 1}], sig[${b * LshRows + 2}])")
+        .mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+               list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS sh
+             FROM t WHERE len(toks) >= 3),
+      sigs AS (SELECT doc_id, [$sigElems] AS sig FROM sh WHERE len(sh) > 0),
+      bands AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sigs),
+      cand AS (SELECT DISTINCT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
+               FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id)
+      SELECT c.doc_id_l, c.doc_id_r,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   greatest(len(list_distinct(a.sh || b.sh)), 1), 8) AS jaccard3
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_id_l JOIN sh b ON b.doc_id = c.doc_id_r
+      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  greatest(len(list_distinct(a.sh || b.sh)), 1), 8) >= 0.2
+      """
+    }
   )
 
   val defs: Seq[QueryDef] = Seq(
@@ -148,6 +213,8 @@ object DedupQueries {
     ),
 
     q19Def,
+
+    q19bDef,
 
     // --- q20: brute-force cosine top-k similarity search over embeddings
     // (ANN baseline; fold-ordered sums so DuckDB reproduces bit-for-bit).
@@ -244,21 +311,24 @@ object DedupQueries {
     // --- q29: transitive clustering of near-dup pairs via iterative
     // large-star/small-star (graft.resolve.ConnectedComponents); oracle =
     // recursive-CTE transitive closure with min-label in DuckDB. Edges =
-    // the q19 n-gram-Jaccard pairs.
+    // the q19b LSH-gated Jaccard pairs (the scale path — candidate volume
+    // tracks near-dup density, not block-size^2; round 1 recomputed the
+    // all-pairs q19 here, which doubled the wall and inherited its
+    // quadratic plan).
     QueryDef(
       "q29_connected_components",
       (s, dir) => {
         val d = load(s, dir, "documents")
         // zero-pad ids so string min == numeric min inside the CC kernel
         val pad = (c: Column) => lpad(c.cast("string"), 12, "0")
-        val edges = q19Def.fn(s, dir)
+        val edges = q19bDef.fn(s, dir)
           .select(pad(col("doc_id_l")).as("src"), pad(col("doc_id_r")).as("dst"))
         ConnectedComponents.assignAll(
           s, d.select(pad(col("doc_id")).as("conv_id")), edges)
           .select(col("conv_id").cast("bigint").as("doc_id"),
             col("cluster_id").cast("bigint").as("cluster_id"))
       },
-      q19Def.oracle.map { q19 =>
+      q19bDef.oracle.map { q19 =>
         s"""
         WITH RECURSIVE pairs AS (
           SELECT doc_id_l, doc_id_r FROM ($q19) z

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.blocking.{Blocking, BlockingRule}
 import graft.functions.GraftFunctions._
 import graft.functions.JaroWinkler.jaroWinkler
 
@@ -217,6 +218,238 @@ object ErQueries {
                WHEN distinguishability > 0 THEN '04: d > 0'
                ELSE '06: d = 0' END AS d_category
         FROM win WHERE rn = 1
+      """)
+    ),
+
+    // --- q34: tiered hot-block handling (north_rule "salted hot-block
+    // splitting"). One deliberately hot rule (key = lang): blocks up to
+    // cap*factor join salted with the FULL pair set preserved (the oracle is
+    // the plain self-join — proving zero recall loss under salting); blocks
+    // beyond that are salvaged via sorted-neighborhood (window pairs on
+    // doc_id order, match_key = 1 = rules.length + rule).
+    QueryDef(
+      "q34_salted_blocking",
+      (s, dir) => {
+        val d = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        Blocking.candidatePairsSelf(
+          d, "doc_id",
+          Seq(BlockingRule("lang", col("lang_l"), col("lang_r"))),
+          Blocking.SkewConfig(maxBlockRows = 50, maxSaltFactor = 2, snmWindow = 5))
+      },
+      Some("""
+        WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        docs AS (SELECT doc_id, lang FROM documents),
+        fullp AS (
+          SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r, 0 AS match_key
+          FROM docs l JOIN docs r ON l.lang = r.lang AND l.doc_id < r.doc_id
+          JOIN cnt ON cnt.lang = l.lang
+          WHERE cnt.c <= 100),
+        ranked AS (
+          SELECT d.doc_id, d.lang,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id ASC) AS rn
+          FROM docs d JOIN cnt ON cnt.lang = d.lang WHERE cnt.c > 100),
+        snm AS (
+          SELECT least(l.doc_id, r.doc_id) AS doc_id_l,
+                 greatest(l.doc_id, r.doc_id) AS doc_id_r, 1 AS match_key
+          FROM ranked l JOIN ranked r
+            ON l.lang = r.lang AND r.rn > l.rn AND r.rn <= l.rn + 5)
+        SELECT * FROM fullp UNION ALL SELECT DISTINCT * FROM snm
+      """)
+    ),
+
+    // --- q35: link-mode merge — deterministic exact cascade (exact +
+    // unique-shingle stages via graft.resolve.ExactCascade) wins;
+    // probabilistic best match fills unmatched messy records (reference:
+    // examples/example_matching.py flow + match_candidate_selection.py:
+    // 100-130 merge semantics). Canonical = doc_id %% 3 != 0, messy = rest.
+    QueryDef(
+      "q35_link_merge",
+      (s, dir) => {
+        val f = features(s, dir)
+        val canonF = f.filter(col("doc_id") % 3 =!= 0)
+        val messyF = f.filter(col("doc_id") % 3 === 0)
+        val det = graft.resolve.ExactCascade.run(
+          messyF.select(col("doc_id"), col("norm_text").as("sig_text"),
+            col("lang").as("block_key")),
+          canonF.select(col("doc_id"), col("norm_text").as("sig_text"),
+            col("lang").as("block_key")),
+          idCol = "doc_id")
+        val remaining = messyF.join(det.select("doc_id"), Seq("doc_id"), "left_anti")
+        def keyed(df: DataFrame, sfx: String) = df.select(
+          col("doc_id").as(s"doc_id$sfx"),
+          col("norm_text").as(s"norm_text$sfx"), col("toks").as(s"toks$sfx"),
+          col("head3").as(s"k0$sfx"),
+          concat_ws("#", col("lang"), col("n_chars")).as(s"k1$sfx"),
+          col("tail3").as(s"k2$sfx"))
+        val l = keyed(canonF, "_l")
+        val r = keyed(remaining, "_r")
+        val pairs = (0 until 3).map { i =>
+          val joined = l.join(r, col(s"k${i}_l") === col(s"k${i}_r"))
+          (0 until i).foldLeft(joined) { (df, j) =>
+            df.filter(not(coalesce(col(s"k${j}_l") === col(s"k${j}_r"), lit(false))))
+          }.withColumn("match_key", lit(i))
+        }.reduce(_ unionByName _)
+        val scored = scoreCols(pairs).select(
+          col("doc_id_l").as("conv_id_l"), col("doc_id_r").as("conv_id_r"),
+          col("match_weight"))
+        val best = graft.evaluate.Evaluate.bestMatches(scored)
+          .select("conv_id_r", "conv_id_l", "match_weight")
+        val merged = graft.evaluate.Evaluate.mergeMatches(
+          det.withColumnRenamed("doc_id", "conv_id"), best)
+        merged.select(col("conv_id_r").as("doc_id_r"),
+          col("conv_id_l").as("doc_id_l"), col("match_reason"),
+          round(col("match_weight"), 6).as("match_weight"))
+      },
+      Some(s"""
+        WITH f AS ($duckFeatures),
+        canonf AS (SELECT * FROM f WHERE doc_id % 3 <> 0),
+        messyf AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+        exact AS (
+          SELECT m.doc_id, cd.rid AS resolved_canonical_id, 'exact_match' AS match_reason
+          FROM messyf m JOIN (SELECT norm_text, lang, min(doc_id) AS rid
+                              FROM canonf GROUP BY norm_text, lang) cd
+            ON m.norm_text = cd.norm_text AND m.lang = cd.lang),
+        rem AS (SELECT * FROM messyf WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+        canon_sh AS (
+          SELECT lang, doc_id AS cand_id,
+                 unnest(list_distinct(CASE WHEN len(norm_text) >= 5
+                   THEN list_transform(range(1, len(norm_text) - 3), i -> substr(norm_text, i, 5))
+                   ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+          FROM canonf),
+        uniq_sh AS (
+          SELECT lang, shingle, min(cand_id) AS cand_id
+          FROM canon_sh GROUP BY lang, shingle HAVING count(DISTINCT cand_id) = 1),
+        messy_sh AS (
+          SELECT lang, doc_id,
+                 unnest(list_distinct(CASE WHEN len(norm_text) >= 5
+                   THEN list_transform(range(1, len(norm_text) - 3), i -> substr(norm_text, i, 5))
+                   ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+          FROM rem),
+        sh_match AS (
+          SELECT doc_id, min(cand_id) AS resolved_canonical_id,
+                 'unique_shingle' AS match_reason
+          FROM (SELECT m.doc_id, u.cand_id FROM messy_sh m
+                JOIN uniq_sh u ON m.lang = u.lang AND m.shingle = u.shingle) z
+          GROUP BY doc_id HAVING count(DISTINCT cand_id) = 1 AND count(*) >= 3),
+        det AS (SELECT * FROM exact UNION ALL SELECT * FROM sh_match),
+        rem2 AS (SELECT * FROM messyf WHERE doc_id NOT IN (SELECT doc_id FROM det)),
+        kc AS (SELECT doc_id, norm_text, toks, head3 AS k0,
+                      concat_ws('#', lang, CAST(n_chars AS VARCHAR)) AS k1, tail3 AS k2
+               FROM canonf),
+        km AS (SELECT doc_id, norm_text, toks, head3 AS k0,
+                      concat_ws('#', lang, CAST(n_chars AS VARCHAR)) AS k1, tail3 AS k2
+               FROM rem2),
+        pairs AS (
+          SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r, 0 AS match_key,
+                 l.norm_text AS norm_text_l, r.norm_text AS norm_text_r,
+                 l.toks AS toks_l, r.toks AS toks_r
+          FROM kc l JOIN km r ON l.k0 = r.k0
+          UNION ALL
+          SELECT l.doc_id, r.doc_id, 1, l.norm_text, r.norm_text, l.toks, r.toks
+          FROM kc l JOIN km r ON l.k1 = r.k1 WHERE NOT coalesce(l.k0 = r.k0, FALSE)
+          UNION ALL
+          SELECT l.doc_id, r.doc_id, 2, l.norm_text, r.norm_text, l.toks, r.toks
+          FROM kc l JOIN km r ON l.k2 = r.k2
+          WHERE NOT coalesce(l.k0 = r.k0, FALSE) AND NOT coalesce(l.k1 = r.k1, FALSE)),
+        scored AS ($duckScore),
+        best AS (
+          SELECT doc_id_r, doc_id_l, match_weight FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
+                      ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+          WHERE rn = 1)
+        SELECT d.doc_id AS doc_id_r, d.resolved_canonical_id AS doc_id_l,
+               d.match_reason, CAST(NULL AS DOUBLE) AS match_weight
+        FROM det d
+        UNION ALL
+        SELECT b.doc_id_r, b.doc_id_l, 'probabilistic' AS match_reason, b.match_weight
+        FROM best b WHERE b.doc_id_r NOT IN (SELECT doc_id FROM det)
+      """)
+    ),
+
+    // --- q36: label-accuracy report — per-category accuracy with a
+    // GROUPING SETS OVERALL row (reference: benchmarking/analysis/
+    // accuracy.py:29-66). Matches = q28 best-match; labels = exact-dup
+    // canonical (min doc_id per norm_text).
+    QueryDef(
+      "q36_accuracy_report",
+      (s, dir) => {
+        val f = features(s, dir)
+        val labels = f.select(col("doc_id").as("conv_id"),
+          min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
+            .as("correct_conv_id"))
+        val scored = scoreCols(blockedPairs(s, dir))
+          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight"))
+        val w = Window.partitionBy(col("doc_id_r"))
+          .orderBy(col("match_weight").desc, col("doc_id_l").asc)
+        val matches = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id_r").as("conv_id_r"), col("doc_id_l").as("conv_id_l"),
+            when(col("match_weight") > 0, "strong").otherwise("weak").as("match_reason"))
+        graft.evaluate.Evaluate.accuracyByReason(matches, labels)
+      },
+      Some(s"""
+        WITH pairs AS ($duckBlockedPairs),
+        scored AS ($duckScore),
+        best AS (
+          SELECT doc_id_r AS conv_id_r, doc_id_l AS conv_id_l,
+                 CASE WHEN match_weight > 0 THEN 'strong' ELSE 'weak' END AS match_reason
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
+                          ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+          WHERE rn = 1),
+        labels AS (
+          SELECT doc_id AS conv_id,
+                 min(doc_id) OVER (PARTITION BY norm_text) AS correct_conv_id
+          FROM ($duckFeatures) ff),
+        joined AS (
+          SELECT b.match_reason,
+                 CASE WHEN b.conv_id_l = l.correct_conv_id THEN 1 ELSE 0 END AS is_correct
+          FROM best b JOIN labels l ON b.conv_id_r = l.conv_id)
+        SELECT coalesce(match_reason, 'OVERALL') AS match_reason,
+               count(*) AS n_matches, sum(is_correct) AS n_correct,
+               round(sum(is_correct) * 100.0 / count(*), 4) AS accuracy_pct
+        FROM joined GROUP BY GROUPING SETS ((match_reason), ())
+      """)
+    ),
+
+    // --- q37: nth-false-positive drill-down (reference:
+    // accuracy_from_labels.py:62-81 — LIMIT 1 OFFSET n).
+    QueryDef(
+      "q37_nth_fp_example",
+      (s, dir) => {
+        val f = features(s, dir)
+        val labels = f.select(col("doc_id").as("conv_id"),
+          min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
+            .as("correct_conv_id"))
+        val scored = scoreCols(blockedPairs(s, dir))
+          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight"))
+        val w = Window.partitionBy(col("doc_id_r"))
+          .orderBy(col("match_weight").desc, col("doc_id_l").asc)
+        val matches = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id_r").as("conv_id_r"), col("doc_id_l").as("conv_id_l"),
+            lit("best").as("match_reason"))
+        graft.evaluate.Evaluate.nthFalsePositive(matches, labels, 5)
+          .select(col("conv_id_r").as("doc_id_r"), col("conv_id_l").as("doc_id_l"),
+            col("correct_conv_id").as("correct_doc_id"))
+      },
+      Some(s"""
+        WITH pairs AS ($duckBlockedPairs),
+        scored AS ($duckScore),
+        best AS (
+          SELECT doc_id_r AS conv_id_r, doc_id_l AS conv_id_l
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
+                          ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+          WHERE rn = 1),
+        labels AS (
+          SELECT doc_id AS conv_id,
+                 min(doc_id) OVER (PARTITION BY norm_text) AS correct_conv_id
+          FROM ($duckFeatures) ff)
+        SELECT b.conv_id_r AS doc_id_r, b.conv_id_l AS doc_id_l,
+               l.correct_conv_id AS correct_doc_id
+        FROM best b JOIN labels l ON b.conv_id_r = l.conv_id
+        WHERE b.conv_id_l <> l.correct_conv_id
+        ORDER BY b.conv_id_r ASC, b.conv_id_l ASC
+        LIMIT 1 OFFSET 5
       """)
     )
   )

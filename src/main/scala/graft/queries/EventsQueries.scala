@@ -24,9 +24,13 @@ object EventsQueries {
               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
         val withSession = withGap.withColumn("session_seq",
           sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        // `value` is an exact 2-dp double in the testdata; summing via
+        // decimal is exact and order-independent (IEEE double partial-agg
+        // order varies per run and flips 4-dp rounding boundaries —
+        // CORRECTNESS_r01 q24 hash flake).
         withSession.groupBy(col("user_id"), col("session_seq"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("session_value"),
+            round(sum(col("value").cast("decimal(20,2)")).cast("double"), 4).as("session_value"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       },
       Some("""
@@ -42,7 +46,7 @@ object EventsQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM g)
         SELECT user_id, session_seq, count(*) AS n_events,
-               round(sum(value), 4) AS session_value,
+               round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 4) AS session_value,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         FROM sess GROUP BY user_id, session_seq
       """)
@@ -55,13 +59,14 @@ object EventsQueries {
         val e = load(s, dir, "events")
         e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"),
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(20,2)")).cast("double"), 4).as("total_value"),
             countDistinct(col("user_id")).as("n_users"))
       },
       Some("""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n,
-               round(sum(value), 4) AS total_value,
+               round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 4) AS total_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
       """)

@@ -20,19 +20,29 @@ object RelationalQueries {
       "q01_agg_lineitem",
       (s, dir) => {
         val li = load(s, dir, "lineitem")
+        // Exact-decimal aggregation: all money columns are 2-dp-exact
+        // doubles, so decimal sums are exact and order-independent (IEEE
+        // partial-agg order varies per run and can flip rounding boundaries
+        // — the q24/q30 hash-flake class from CORRECTNESS_r01).
+        val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
         li.filter(col("l_quantity") > 5)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-            round(avg(col("l_discount")), 6).as("avg_disc"),
+            round(sum(col("l_quantity").cast("decimal(20,2)")).cast("double"), 2).as("sum_qty"),
+            round(sum(revenue).cast("double"), 2).as("revenue"),
+            round(sum(col("l_discount").cast("decimal(20,2)")).cast("double") /
+              count(col("l_discount")), 6).as("avg_disc"),
             count(lit(1)).as("n"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                 AS revenue,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) / count(l_discount), 6)
+                 AS avg_disc,
                count(*) AS n
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag, l_linestatus
@@ -55,12 +65,16 @@ object RelationalQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .filter(col("o_orderstatus") === "F")
           .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+              .cast("double"), 2).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                 AS revenue,
                count(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -252,10 +266,15 @@ object RelationalQueries {
       "q30_grouping_sets",
       (s, dir) => {
         val d = load(s, dir, "documents")
+        // avg_chars is a 4-dp-rounded double -> decimal(20,4) cast is exact;
+        // the decimal sum makes the outer avg order-independent (q30 was
+        // hash-flaky in CORRECTNESS_r01 from double partial-agg order).
         d.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
           .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()), col("lang"), col("source"))
-          .agg(sum(col("n")).as("n_docs"), round(avg(col("avg_chars")), 4).as("avg_of_avg"))
+          .agg(sum(col("n")).as("n_docs"),
+            round(sum(col("avg_chars").cast("decimal(20,4)")).cast("double") /
+              count(col("avg_chars")), 4).as("avg_of_avg"))
           .select(
             coalesce(col("lang"), lit("<all>")).as("lang"),
             coalesce(col("source"), lit("<all>")).as("source"),
@@ -267,7 +286,9 @@ object RelationalQueries {
           FROM documents GROUP BY lang, source)
         SELECT coalesce(lang, '<all>') AS lang,
                coalesce(source, '<all>') AS source,
-               sum(n) AS n_docs, round(avg(avg_chars), 4) AS avg_of_avg
+               sum(n) AS n_docs,
+               round(CAST(sum(CAST(avg_chars AS DECIMAL(20,4))) AS DOUBLE) / count(avg_chars), 4)
+                 AS avg_of_avg
         FROM base GROUP BY GROUPING SETS ((lang), (source), ())
       """)
     )

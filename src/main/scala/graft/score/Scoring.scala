@@ -61,6 +61,12 @@ final case class ScoreModel(priorMatchProbability: Double, comparisons: Seq[Comp
 
 object Scoring {
 
+  /** Base frequency for TF adjustments (= Signatures.DefaultRelFreq, the
+    * TF-attach miss default): a token at the base frequency gets exactly
+    * the level's nominal BF; rarer is boosted, more common damped.
+    */
+  val DefaultTfBase: Double = 5e-5
+
   /** Apply a score model to a blocked-pairs DataFrame (columns suffixed
     * _l/_r). Adds per-comparison bf_* and gamma_* columns plus
     * match_weight / match_probability.
@@ -134,18 +140,24 @@ object Scoring {
         ComparisonLevel("exact", col("sig_text_l") === col("sig_text_r"), math.pow(2, 15))),
       elseBf = 1.0)
 
-    val tfProd = Comparison("token_tf_product",
-      Seq(
-        ComparisonLevel("null",
-          col("token_freq_hist_l").isNull || col("token_freq_hist_r").isNull, 1.0)),
-      elseBf = 1.0) // placeholder; bf injected via tfProductComparison below
+    /** Observed rel_freq of a token from the left record's TF hist map;
+      * null-safe (try_element_at) with the attach-miss default.
+      */
+    def relFreqOf(token: Column): Column = coalesce(
+      try_element_at(col("token_freq_hist_l"), token).getField("rel_freq"),
+      lit(DefaultTfBase))
 
     val salient1 = Comparison("salient_token_1",
       Seq(
         ComparisonLevel("null",
           col("salient_token_1_l").isNull || col("salient_token_1_r").isNull, 1.0),
+        // TF-adjusted exact level (reference: splink_model.json:174-230,
+        // tf_adjustment_column numeric_token_1, tf_adjustment_weight 0.1):
+        // a match on a rarer-than-base token is worth more, a match on a
+        // common token less — BF scaled by (base/freq)^0.1.
         ComparisonLevel("exact", col("salient_token_1_l") === col("salient_token_1_r"),
-          math.pow(2, 6)),
+          math.pow(2, 6),
+          tfAdjustment = Some((relFreqOf(col("salient_token_1_l")), 0.1, DefaultTfBase))),
         ComparisonLevel("inverted",
           col("salient_token_1_l") === col("salient_token_2_r") ||
             col("salient_token_2_l") === col("salient_token_1_r"), math.pow(2, 2))),
@@ -178,7 +190,8 @@ object Scoring {
         ComparisonLevel("null",
           col("numeric_token_1_l").isNull || col("numeric_token_1_r").isNull, 1.0),
         ComparisonLevel("exact", col("numeric_token_1_l") === col("numeric_token_1_r"),
-          math.pow(2, 6)),
+          math.pow(2, 6),
+          tfAdjustment = Some((relFreqOf(col("numeric_token_1_l")), 0.1, DefaultTfBase))),
         ComparisonLevel("inverted",
           col("numeric_token_1_l") === col("numeric_token_2_r") ||
             col("numeric_token_2_l") === col("numeric_token_1_r"), math.pow(2, 2))),

@@ -112,7 +112,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     val pairs = Blocking.candidatePairsLink(
       candSide, messySide, "conv_id",
       Seq(BlockingRule("test_block", col("test_block_l"), col("test_block_r"))),
-      maxBlockRows = 100,
+      Blocking.SkewConfig(maxBlockRows = 100),
       carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
         "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
         "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
