@@ -63,6 +63,12 @@ object Pipeline {
       bestMatches: DataFrame,
       merged: DataFrame)
 
+  /** Checkpoint-invalidation fingerprint: every config knob except the
+    * checkpoint location itself.
+    */
+  private def configFingerprint(cfg: Config): String =
+    Integer.toHexString(cfg.copy(checkpointDir = None).toString.hashCode)
+
   /** Columns carried through blocking into scoring. */
   private val scoreCols = Seq(
     "sig_text", "turn_texts", "role_seq", "len_band",
@@ -70,16 +76,23 @@ object Pipeline {
         "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
         "numeric_token_1", "numeric_token_2", "numeric_token_3")
 
-  def run(spark: SparkSession, turns: DataFrame, cfg: Config = Config()): Result = {
+  def run(spark: SparkSession, turnsIn: DataFrame, cfg: Config = Config()): Result = {
+    // fail fast with ALL schema problems aggregated (reference:
+    // validation.py enforced before the deterministic pass)
+    val turns = runtime.SchemaValidation.validateOrThrow(
+      turnsIn, runtime.SchemaValidation.turnsSchema, "turns")
     val ckpt = cfg.checkpointDir.map(new Checkpoints(spark, _))
-    // Stage boundaries always materialise: parquet commit when resumable
-    // checkpointing is on, localCheckpoint otherwise. This truncates
-    // lineage so downstream stages (and repeated actions on the results)
-    // never recompute upstream stages — the reference's per-stage temp-table
-    // materialisation (sql_pipeline/runner.py:471-491), and the only sane
-    // shape at 100 TB where recomputation is unaffordable.
+    // Stage boundaries truncate lineage: parquet commit when resumable
+    // checkpointing is on (keyed by a config fingerprint so a config change
+    // recomputes instead of serving stale stages), LAZY localCheckpoint
+    // otherwise — each stage materialises exactly once at its first action
+    // and is reused after, but without eager per-stage driver barriers
+    // (round-1 bench showed the serial barriers dominating local wall).
+    // Reference analogue: per-stage temp-table materialisation,
+    // sql_pipeline/runner.py:471-491.
+    val fp = configFingerprint(cfg)
     def staged(name: String)(compute: => DataFrame): DataFrame =
-      ckpt.map(_.stage(name)(compute)).getOrElse(compute.localCheckpoint(true))
+      ckpt.map(_.stage(name, fp)(compute)).getOrElse(compute.localCheckpoint(false))
 
     // 1. signatures (+ TF attach)
     val sigs = staged("signatures") {
@@ -159,12 +172,17 @@ object Pipeline {
     */
   def runLink(
       spark: SparkSession,
-      messyTurns: DataFrame,
-      canonicalTurns: DataFrame,
+      messyTurnsIn: DataFrame,
+      canonicalTurnsIn: DataFrame,
       cfg: Config = Config()): LinkResult = {
+    val messyTurns = runtime.SchemaValidation.validateOrThrow(
+      messyTurnsIn, runtime.SchemaValidation.turnsSchema, "messy turns")
+    val canonicalTurns = runtime.SchemaValidation.validateOrThrow(
+      canonicalTurnsIn, runtime.SchemaValidation.turnsSchema, "canonical turns")
     val ckpt = cfg.checkpointDir.map(new Checkpoints(spark, _))
+    val fp = configFingerprint(cfg)
     def staged(name: String)(compute: => DataFrame): DataFrame =
-      ckpt.map(_.stage(name)(compute)).getOrElse(compute.localCheckpoint(true))
+      ckpt.map(_.stage(name, fp)(compute)).getOrElse(compute.localCheckpoint(false))
 
     // 1. signatures; one TF table (canonical corpus) applied to both sides
     // so a token's rarity means the same thing on each side of a pair.

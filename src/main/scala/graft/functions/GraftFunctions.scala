@@ -188,14 +188,36 @@ object GraftFunctions {
   // which keeps it inside whole-stage codegen.)
   // ---------------------------------------------------------------------
 
-  /** Per-row histogram of a string array as map<string, int> (counts). */
+  /** Per-row histogram of a non-null string array as map<string, int>
+    * (counts). One `aggregate` fold over the sorted array — the input
+    * expression is evaluated exactly once (an index-based formulation that
+    * references the sorted array inside HOF lambdas re-inlines and
+    * re-evaluates the sort per element: O(n^2 log n) per row, measured as
+    * a single task pinning a core for 30+ minutes). The fold's entry-array
+    * copy happens only at run boundaries, so cost is O(n + distinct^2).
+    */
   def histMap(arr: Column): Column = {
-    val sorted = array_sort(arr)
-    // count of element e in sorted arr via filter-size over distinct values
-    val distinctVals = array_distinct(sorted)
-    map_from_entries(
-      transform(distinctVals, v => struct(v.as("key"), size(filter(arr, x => x === v)).as("value")))
-    )
+    val zero = struct(
+      array().cast("array<struct<key:string,value:int>>").as("entries"),
+      lit(null).cast("string").as("prev"),
+      lit(0).as("cnt"))
+    def closeRun(acc: Column): Column =
+      concat(acc.getField("entries"),
+        array(struct(acc.getField("prev").as("key"), acc.getField("cnt").as("value"))))
+    val folded = aggregate(
+      array_sort(arr),
+      zero,
+      (acc, x) =>
+        when(acc.getField("prev").isNull,
+          struct(acc.getField("entries").as("entries"), x.as("prev"), lit(1).as("cnt")))
+          .when(x === acc.getField("prev"),
+            struct(acc.getField("entries").as("entries"),
+              acc.getField("prev").as("prev"), (acc.getField("cnt") + 1).as("cnt")))
+          .otherwise(
+            struct(closeRun(acc).as("entries"), x.as("prev"), lit(1).as("cnt"))),
+      acc => when(acc.getField("prev").isNull, acc.getField("entries"))
+        .otherwise(closeRun(acc)))
+    map_from_entries(folded)
   }
 
   /** Rolling polynomial fingerprint of a string array (document

@@ -23,6 +23,22 @@ object DedupQueries {
   val Bands = 4
   val RowsPerBand = 2
 
+  /** Multi-band hyperplane ANN params (q20c): 3 bands x 8 sign bits. */
+  val AnnBands = 3
+  val AnnBits = 8
+
+  /** Sign-bit band keys over an embedding: band b hashes dims
+    * [b*bits, (b+1)*bits) to a bit string, key = "b_bits". With unit-ish
+    * random embeddings each band is a 2^bits-way partition; two vectors
+    * are candidates when ANY band agrees.
+    */
+  def annBandKeys(v: Column, bands: Int, bits: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_", lit(b),
+        concat((0 until bits).map(i =>
+          when(element_at(v, b * bits + i + 1) > 0, lit("1")).otherwise(lit("0"))): _*))
+    }: _*)
+
   /** q19: n-gram Jaccard near-dup pairs within (lang, length-band) blocks —
     * composite-key blocking + set-similarity verify. Standalone so q29 can
     * reuse it as its edge generator.
@@ -306,6 +322,65 @@ object DedupQueries {
           FROM scored) t
         WHERE rank <= 3
       """)
+    ),
+
+    // --- q20c: multi-band hyperplane ANN (the parameterized scale path the
+    // round-1 single-code q20b lacked): `bands` independent sign-bit codes
+    // of `bits` dims each. Bucket count = bands * 2^bits scales with n via
+    // `bits` (pick bits ~ log2(n / target bucket size)); multi-band OR-ing
+    // recovers recall a single longer code would lose. Candidates = pairs
+    // sharing ANY band key; exact cosine + top-k on candidates only.
+    QueryDef(
+      "q20c_ann_multiband",
+      (s, dir) => {
+        val e = load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val withBands = e.withColumn("bands", annBandKeys(col("v"), AnnBands, AnnBits))
+        val exploded = withBands
+          .select(col("vec_id"), explode(col("bands")).as("band_key"))
+        val q = exploded.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("band_key"))
+        val c = exploded.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("n_id"), col("band_key"))
+        val cand = q.join(c, Seq("band_key")).select("q_id", "n_id").distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+          .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+          .select(col("q_id"), col("n_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      },
+      Some {
+        val bandKeys = (0 until AnnBands).map { b =>
+          s"concat_ws('_', $b, array_to_string(list_transform(range(0, $AnnBits), " +
+            s"i -> CASE WHEN v[$b * $AnnBits + i + 1] > 0 THEN '1' ELSE '0' END), ''))"
+        }.mkString(", ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bands AS (SELECT vec_id, unnest([$bandKeys]) AS band_key FROM e),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS n_id
+          FROM bands l JOIN bands r ON l.band_key = r.band_key
+          WHERE l.vec_id % 50 = 0 AND r.vec_id % 50 <> 0),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+            round(
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(q.v, n.v), x -> x[1] * x[2])), (a, b) -> a + b)
+              / COALESCE(NULLIF(
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(q.v, x -> x * x)), (a, b) -> a + b)) *
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(n.v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+          FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e n ON n.vec_id = c.n_id)
+        SELECT q_id, n_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 3
+        """
+      }
     ),
 
     // --- q29: transitive clustering of near-dup pairs via iterative

@@ -106,6 +106,15 @@ object ConnectedComponents {
       prevSig = sig
       iter += 1
     }
+    if (!converged) {
+      // deriving assignments from a non-fixpoint forest can split
+      // components inconsistently — surface it instead of silently
+      // returning (ADVICE.md round 1)
+      System.err.println(
+        s"[graft.ConnectedComponents] WARN: edge multiset did not converge " +
+          s"within maxIterations=$maxIterations; cluster assignments may be " +
+          s"partial (increase maxIterations)")
+    }
 
     // after convergence the forest has depth 1: every edge (m, v) links a
     // member to its component root m.

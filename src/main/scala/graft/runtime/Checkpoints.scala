@@ -1,34 +1,77 @@
 package graft.runtime
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stage-checkpoint manager: each named stage is committed as a parquet
-  * table + manifest entry; a re-run resumes from the last committed stage
+  * table + a manifest entry; a re-run resumes from the last committed stage
   * (BASELINE.json north_rule "resumable from checkpoint with per-partition
   * lineage + metrics"; reference analogue: temp-table checkpoint
   * materialisation, sql_pipeline/runner.py:471-491).
   *
   * Layout: <dir>/<stage>/ parquet + Spark's _SUCCESS marker;
-  *         <dir>/manifest.jsonl one line per committed stage with rows,
-  *         partition count and wall-clock ms (the per-stage metrics).
+  *         <dir>/_manifest_<stage>.json per committed stage with rows,
+  *         partition count, wall-clock ms and a caller-supplied
+  *         FINGERPRINT (config hash). A stage is only reused when both the
+  *         _SUCCESS marker exists and the recorded fingerprint matches —
+  *         rerunning with a different config against the same checkpointDir
+  *         recomputes instead of silently returning stale results.
+  *
+  * All filesystem access goes through the Hadoop FileSystem API, so
+  * checkpoint dirs work on HDFS/S3A exactly as they do on local paths
+  * (the spark-submit deployment surface).
   */
 final class Checkpoints(spark: SparkSession, dir: String) {
 
-  private val manifestPath = Paths.get(s"$dir/manifest.jsonl")
-  Files.createDirectories(Paths.get(dir))
+  private val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  fs.mkdirs(new Path(dir))
 
   def isCommitted(stage: String): Boolean =
-    Files.exists(Paths.get(s"$dir/$stage/_SUCCESS"))
+    fs.exists(new Path(s"$dir/$stage/_SUCCESS"))
 
-  /** Run (or resume) a stage: if previously committed, read it back instead
-    * of recomputing — truncating lineage exactly like the reference's
-    * checkpointed CTE segments.
+  private def manifestPath(stage: String) = new Path(s"$dir/_manifest_$stage.json")
+
+  private def readManifest(stage: String): Option[String] = {
+    val p = manifestPath(stage)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def writeManifest(stage: String, json: String): Unit = {
+    val out = fs.create(manifestPath(stage), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fingerprint recorded when the stage was committed (empty for stages
+    * committed by older layouts with no manifest).
     */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+  def committedFingerprint(stage: String): Option[String] =
+    readManifest(stage).map { json =>
+      "\"fingerprint\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
+    }
+
+  /** Run (or resume) a stage: reused only when committed AND the recorded
+    * fingerprint matches `fingerprint` — a config change invalidates the
+    * checkpoint instead of silently serving stale results.
+    */
+  def stage(name: String, fingerprint: String = "")(compute: => DataFrame): DataFrame = {
     val path = s"$dir/$name"
-    if (isCommitted(name)) {
+    val reusable = isCommitted(name) &&
+      committedFingerprint(name).forall(_ == fingerprint)
+    if (reusable) {
       spark.read.parquet(path)
     } else {
       val t0 = System.nanoTime()
@@ -38,25 +81,21 @@ final class Checkpoints(spark: SparkSession, dir: String) {
       val rows = committed.count()
       val parts = committed.rdd.getNumPartitions
       val ms = (System.nanoTime() - t0) / 1000000
-      appendManifest(
-        s"""{"stage":"$name","rows":$rows,"partitions":$parts,"wall_ms":$ms,"path":"$path"}""")
+      writeManifest(name,
+        s"""{"stage":"$name","rows":$rows,"partitions":$parts,"wall_ms":$ms,""" +
+          s""""path":"$path","fingerprint":"$fingerprint"}""")
       committed
     }
   }
 
-  private def appendManifest(line: String): Unit = synchronized {
-    Files.write(manifestPath, (line + "\n").getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  /** Stages committed so far (manifest files present), by modification time. */
+  def committedStages(): Seq[String] = {
+    val st = fs.listStatus(new Path(dir))
+    st.filter(s => s.getPath.getName.startsWith("_manifest_"))
+      .sortBy(_.getModificationTime)
+      .map(_.getPath.getName.stripPrefix("_manifest_").stripSuffix(".json"))
+      .toSeq
   }
-
-  /** Stages committed so far, in manifest order. */
-  def committedStages(): Seq[String] =
-    if (!Files.exists(manifestPath)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(manifestPath).asScala.toSeq
-        .flatMap(l => "\"stage\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)))
-    }
 }
 
 /** Per-partition lineage + per-stage metrics via SparkListener (north_rule:
