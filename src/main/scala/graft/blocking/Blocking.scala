@@ -187,6 +187,16 @@ object Blocking {
       Seq(col(s"${idCol}_l"), col(s"${idCol}_r"), col("match_key")) ++
         carryCols.flatMap(c => Seq(col(c + "_l"), col(c + "_r")))
 
+    // NARROW frames for the joins: id + rule keys only. The heavy carry
+    // columns (turn texts, TF hist maps, ...) are attached ONCE after the
+    // union with two id-joins — shuffling them through every rule join
+    // multiplied the blocking stage's bytes by the carry width (measured
+    // 45 s -> the dominant pipeline stage at 30k convs).
+    val lNarrow = lKeyed.select(
+      (col(s"${idCol}_l") +: rules.indices.map(i => col(s"__bk_$i"))): _*)
+    val rNarrow = rKeyed.select(
+      (col(s"${idCol}_r") +: rules.indices.map(i => col(s"__bk_$i"))): _*)
+
     // ALL rules' per-key block sizes in ONE pass over the exploded
     // (rule, key) stream per side — a single scan regardless of rule count
     // (matters at 100 TB). For link mode a key's tier is driven by the
@@ -198,14 +208,22 @@ object Blocking {
       .groupBy(col("rk.rule").as("rule"), col("rk.key").as("key"))
       .count()
     val counts =
-      if (selfDedup) keyCounts(lKeyed)
-      else keyCounts(lKeyed).unionByName(keyCounts(rKeyed))
+      if (selfDedup) keyCounts(lNarrow)
+      else keyCounts(lNarrow).unionByName(keyCounts(rNarrow))
         .groupBy("rule", "key").agg(max(col("count")).as("count"))
     val hot = counts.filter(col("count") > cap).persist()
     val saltInfo = hot.filter(col("count") <= ultraCap)
       .select(col("rule"), col("key"),
         ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"))
     val ultra = hot.filter(col("count") > ultraCap).select(col("rule"), col("key"))
+
+    // materialise the (tiny, persisted) hot-key stats once and PRUNE the
+    // skew machinery from the plan when a tier is empty — the common case
+    // pays one aggregate, not 2 x rules broadcast joins + salvage subplans
+    val tierRow = hot.agg(
+      coalesce(sum(when(col("count") <= ultraCap, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("count") > ultraCap, 1L).otherwise(0L)), lit(0L))).head()
+    val (nSaltKeys, nUltraKeys) = (tierRow.getLong(0), tierRow.getLong(1))
 
     // Null ultra-hot keys on BOTH sides before any join: the rule neither
     // emits nor excludes on them (exclusion on a key whose pairs were not
@@ -218,13 +236,14 @@ object Blocking {
           when(col(s"__uh_$i"), lit(null)).otherwise(col(s"__bk_$i")))
         .drop(s"__uk_$i", s"__uh_$i")
     }
-    val lK = nullUltra(lKeyed)
-    val rK = nullUltra(rKeyed)
+    val lK = if (nUltraKeys == 0) lNarrow else nullUltra(lNarrow)
+    val rK = if (nUltraKeys == 0) rNarrow else nullUltra(rNarrow)
 
     def excludeEarlier(joined: DataFrame, lSide: DataFrame, rSide: DataFrame, i: Int) =
       (0 until i).foldLeft(joined) { (df, j) =>
         df.filter(not(coalesce(lSide(s"__bk_$j") === rSide(s"__bk_$j"), lit(false))))
       }
+    val idPair = Seq(col(s"${idCol}_l"), col(s"${idCol}_r"), col("match_key"))
 
     val perRule = rules.indices.map { i =>
       val saltKeysI = broadcast(saltInfo.filter(col("rule") === i)
@@ -232,53 +251,68 @@ object Blocking {
 
       // ---- tier 1: plain join on cool keys (salt-tier keys excluded here,
       // they are emitted by the salted join below; ultra keys already null).
-      val lCool = lK.filter(col(s"__bk_$i").isNotNull)
-        .join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
-      val rCool = rK.filter(col(s"__bk_$i").isNotNull)
-        .join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
+      def coolSide(df: DataFrame) = {
+        val nn = df.filter(col(s"__bk_$i").isNotNull)
+        if (nSaltKeys == 0) nn
+        else nn.join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
+      }
+      val lCool = coolSide(lK)
+      val rCool = coolSide(rK)
       val coolCond =
         if (selfDedup)
           lCool(s"__bk_$i") === rCool(s"__bk_$i") && col(s"${idCol}_l") < col(s"${idCol}_r")
         else lCool(s"__bk_$i") === rCool(s"__bk_$i")
       val cool = excludeEarlier(lCool.join(rCool, coolCond), lCool, rCool, i)
+        .withColumn("match_key", lit(i)).select(idPair: _*)
 
       // ---- tier 2: salted join. Left keeps one salt, right replicates to
       // all g salts — every equal-key pair still emitted exactly once, but
       // spread across g reducer partitions.
-      val lSalt = lK.join(saltKeysI, Seq(s"__bk_$i"))
-        .withColumn("__salt", pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int"))
-        .drop("g")
-      val rSalt = rK.join(saltKeysI, Seq(s"__bk_$i"))
-        .withColumn("__salt", explode(sequence(lit(0), col("g") - 1)))
-        .drop("g")
-      val saltCond0 = lSalt(s"__bk_$i") === rSalt(s"__bk_$i") &&
-        lSalt("__salt") === rSalt("__salt")
-      val saltCond =
-        if (selfDedup) saltCond0 && col(s"${idCol}_l") < col(s"${idCol}_r") else saltCond0
-      val salted = excludeEarlier(lSalt.join(rSalt, saltCond), lSalt, rSalt, i)
-
-      cool.withColumn("match_key", lit(i)).select(outCols: _*)
-        .unionByName(salted.withColumn("match_key", lit(i)).select(outCols: _*))
+      if (nSaltKeys == 0) cool
+      else {
+        val lSalt = lK.join(saltKeysI, Seq(s"__bk_$i"))
+          .withColumn("__salt", pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int"))
+          .drop("g")
+        val rSalt = rK.join(saltKeysI, Seq(s"__bk_$i"))
+          .withColumn("__salt", explode(sequence(lit(0), col("g") - 1)))
+          .drop("g")
+        val saltCond0 = lSalt(s"__bk_$i") === rSalt(s"__bk_$i") &&
+          lSalt("__salt") === rSalt("__salt")
+        val saltCond =
+          if (selfDedup) saltCond0 && col(s"${idCol}_l") < col(s"${idCol}_r") else saltCond0
+        val salted = excludeEarlier(lSalt.join(rSalt, saltCond), lSalt, rSalt, i)
+          .withColumn("match_key", lit(i)).select(idPair: _*)
+        cool.unionByName(salted)
+      }
     }
     val mainPairs = perRule.reduce(_ unionByName _)
 
-    // ---- tier 3: sorted-neighborhood salvage over ultra-hot blocks.
-    val snm = snmSalvage(lKeyed, rKeyed, ultra, rules, idCol, skew, selfDedup)
-    snm match {
-      case None => mainPairs
-      case Some(s) =>
-        // exactly-once overall: a salvage pair already emitted by a cool /
-        // salted rule is dropped (salvage volume is rare by construction,
-        // so this anti-join is cheap relative to mainPairs).
-        val ids = Seq(s"${idCol}_l", s"${idCol}_r")
-        val dedup = s.join(mainPairs.select(ids.head, ids.tail: _*), ids, "left_anti")
-        // attach carry columns back from the keyed sides (one row per id)
-        val withCarry = {
-          val lCarry = lKeyed.select((col(s"${idCol}_l") +: carryCols.map(c => col(c + "_l"))): _*)
-          val rCarry = rKeyed.select((col(s"${idCol}_r") +: carryCols.map(c => col(c + "_r"))): _*)
-          dedup.join(lCarry, Seq(s"${idCol}_l")).join(rCarry, Seq(s"${idCol}_r"))
-        }
-        mainPairs.unionByName(withCarry.select(outCols: _*))
+    // ---- tier 3: sorted-neighborhood salvage over ultra-hot blocks
+    // (plan built only when an ultra key exists).
+    val allPairs =
+      if (nUltraKeys == 0) mainPairs
+      else snmSalvage(lKeyed, rKeyed, ultra, rules, idCol, skew, selfDedup) match {
+        case None => mainPairs
+        case Some(s) =>
+          // exactly-once overall: a salvage pair already emitted by a cool /
+          // salted rule is dropped (salvage volume is rare by construction,
+          // so this anti-join is cheap relative to mainPairs).
+          val ids = Seq(s"${idCol}_l", s"${idCol}_r")
+          val dedup = s.join(mainPairs.select(ids.head, ids.tail: _*), ids, "left_anti")
+          mainPairs.unionByName(dedup.select(idPair: _*))
+      }
+
+    // attach carry columns once, post-union (one row per id on each side)
+    if (carryCols.isEmpty) allPairs.select(outCols: _*)
+    else {
+      val lCarry = lKeyed.select(
+        (col(s"${idCol}_l") +: carryCols.map(c => col(c + "_l"))): _*)
+      val rCarry = rKeyed.select(
+        (col(s"${idCol}_r") +: carryCols.map(c => col(c + "_r"))): _*)
+      allPairs
+        .join(lCarry, Seq(s"${idCol}_l"))
+        .join(rCarry, Seq(s"${idCol}_r"))
+        .select(outCols: _*)
     }
   }
 

@@ -25,6 +25,18 @@ object GraftFunctions {
   def portableHash64(c: Column, seed: Int): Column =
     portableHash64(concat(lit(s"s$seed|"), c.cast("string")))
 
+  /** Seeded portable hash family that amortises digests: one md5 per SEED
+    * PAIR, yielding two independent 60-bit values (hex chars 1-15 and
+    * 16-30 of the digest). Halves the dominant MinHash cost vs one digest
+    * per seed. DuckDB equivalent:
+    *   CAST('0x' || substr(md5('p<seed/2>|' || x), 1 or 16, 15) AS BIGINT)
+    */
+  def portablePairHash64(c: Column, seed: Int): Column = {
+    val digest = md5(concat(lit(s"p${seed / 2}|"), c.cast("string")))
+    val off = if (seed % 2 == 0) 1 else 16
+    conv(substring(digest, off, 15), 16, 10).cast("long")
+  }
+
   /** Fast path (not oracle-portable): seeded xxhash64. */
   def fastHash64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
@@ -80,7 +92,7 @@ object GraftFunctions {
   def minhash(elems: Column, k: Int, portable: Boolean = false): Column = {
     val sigs = (0 until k).map { s =>
       val hashed =
-        if (portable) transform(elems, e => portableHash64(e, s))
+        if (portable) transform(elems, e => portablePairHash64(e, s))
         else transform(elems, e => fastHash64(e, s))
       coalesce(array_min(hashed), lit(Long.MaxValue))
     }
@@ -105,8 +117,10 @@ object GraftFunctions {
       portable: Boolean = false,
       sigCol: String = "minhash_sig"): org.apache.spark.sql.DataFrame = {
     val exploded = df.select(col(idCol), explode(elems).as("__e"))
+    // portable path: one md5 per seed pair (plain projection, so codegen
+    // subexpression elimination shares the digest between the two substrs)
     val hashCols = (0 until k).map { s =>
-      (if (portable) portableHash64(col("__e"), s) else fastHash64(col("__e"), s)).as(s"__h$s")
+      (if (portable) portablePairHash64(col("__e"), s) else fastHash64(col("__e"), s)).as(s"__h$s")
     }
     exploded.select(col(idCol) +: hashCols: _*)
       .groupBy(col(idCol))

@@ -15,9 +15,13 @@ object DedupQueries {
   import Tables.load
   import TextQueries.duckToks
 
-  /** DuckDB equivalent of GraftFunctions.portableHash64(col, seed). */
-  private def duckHash(e: String, seed: Int): String =
-    s"CAST('0x' || substr(md5('s$seed|' || $e), 1, 15) AS BIGINT)"
+  /** DuckDB equivalent of GraftFunctions.portablePairHash64(col, seed):
+    * one md5 per seed pair, two 60-bit values per digest (hex 1-15/16-30).
+    */
+  private def duckHash(e: String, seed: Int): String = {
+    val off = if (seed % 2 == 0) 1 else 16
+    s"CAST('0x' || substr(md5('p${seed / 2}|' || $e), $off, 15) AS BIGINT)"
+  }
 
   val MinhashK = 8
   val Bands = 4

@@ -237,6 +237,80 @@ object TextQueries {
                len(regexp_extract_all(text, '[0-9]+')) AS numeric_tokens
         FROM documents
       """)
+    ),
+
+    // --- q38: custom typed UDAF — per-language token histogram by merging
+    // per-document histMaps with graft.functions.HistMerge (map-side
+    // combinable partial maps; SURVEY §2.4 custom-UDAF row). Oracle = the
+    // plain unnest + GROUP BY, which must agree exactly.
+    QueryDef(
+      "q38_hist_udaf",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        d.select(col("lang"), histMap(tokens(col("text"))).as("h"))
+          .groupBy(col("lang"))
+          .agg(graft.functions.HistMerge(col("h")).as("h"))
+          .select(col("lang"), explode(col("h")).as(Seq("token", "cnt")))
+      },
+      Some(s"""
+        SELECT lang, token, count(*)::INT AS cnt
+        FROM (SELECT lang, unnest($duckToks) AS token FROM documents) t
+        GROUP BY lang, token
+      """)
+    ),
+
+    // --- q39: LAG of ARRAYS — adjacent-record comparison in (lang, doc_id)
+    // order: token-set jaccard vs the previous document plus the common-
+    // suffix length of the token arrays (the reference's adjacent-records
+    // suffix variant, token_parsing.py lag/lead of list columns).
+    QueryDef(
+      "q39_adjacent_suffix",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        // two projections separated by the Window operator: toks/prev_toks
+        // are ATTRIBUTES in the outer select, so the HOF lambdas below do
+        // not re-inline the tokenisation regex chain per element
+        val withPrev = d
+          .select(col("lang"), col("doc_id"), docToks(col("text")).as("toks"))
+          .withColumn("prev_toks", lag(col("toks"), 1).over(w))
+        val a = col("toks")
+        val b = col("prev_toks")
+        val m = least(size(a), size(b))
+        val suffixLen = aggregate(
+          sequence(lit(1), m),
+          struct(lit(true).as("ok"), lit(0).as("n")),
+          (acc, i) =>
+            when(acc.getField("ok") && element_at(a, -i) === element_at(b, -i),
+              struct(lit(true).as("ok"), (acc.getField("n") + 1).as("n")))
+              .otherwise(struct(lit(false).as("ok"), acc.getField("n").as("n"))),
+          acc => acc.getField("n"))
+        withPrev.select(
+          col("lang"), col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          when(b.isNull, lit(null).cast("double"))
+            .otherwise(round(jaccard(array_distinct(a), array_distinct(b)), 8))
+            .as("jaccard_prev"),
+          when(b.isNull, lit(null).cast("int"))
+            .when(m === 0, lit(0))
+            .otherwise(suffixLen).as("common_suffix_len"))
+      },
+      Some(s"""
+        WITH t AS (SELECT lang, doc_id, $duckToks AS toks FROM documents),
+        w AS (SELECT lang, doc_id, toks,
+                     LAG(toks, 1) OVER (PARTITION BY lang ORDER BY doc_id ASC) AS prev_toks
+              FROM t)
+        SELECT lang, doc_id, len(toks) AS n_tokens,
+               CASE WHEN prev_toks IS NULL THEN NULL
+                    ELSE round(len(list_intersect(list_distinct(toks), list_distinct(prev_toks)))::DOUBLE /
+                         greatest(len(list_distinct(toks || prev_toks)), 1), 8) END AS jaccard_prev,
+               CASE WHEN prev_toks IS NULL THEN NULL
+                    WHEN least(len(toks), len(prev_toks)) = 0 THEN 0
+                    ELSE len(list_filter(range(1, least(len(toks), len(prev_toks)) + 1),
+                         k -> toks[len(toks)-k+1:] = prev_toks[len(prev_toks)-k+1:])) END
+                 AS common_suffix_len
+        FROM w
+      """)
     )
   )
 }
