@@ -31,7 +31,9 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val res = Pipeline.run(spark, turns)
       val nPairs = res.pairs.count()
-      // clusters is the terminal action of the job
+      // force every stage including the second pass (stages are lazy
+      // checkpoints — the measured job must be the full pipeline)
+      res.refined.count()
       res.clusters.select("cluster_id").distinct().count()
       val sec = (System.nanoTime() - t0) / 1e9
       turns.unpersist()

@@ -25,16 +25,25 @@ object GraftFunctions {
   def portableHash64(c: Column, seed: Int): Column =
     portableHash64(concat(lit(s"s$seed|"), c.cast("string")))
 
-  /** Seeded portable hash family that amortises digests: one md5 per SEED
-    * PAIR, yielding two independent 60-bit values (hex chars 1-15 and
-    * 16-30 of the digest). Halves the dominant MinHash cost vs one digest
-    * per seed. DuckDB equivalent:
-    *   CAST('0x' || substr(md5('p<seed/2>|' || x), 1 or 16, 15) AS BIGINT)
+  /** Kirsch-Mitzenmacher double-hashing family ("Less Hashing, Same
+    * Performance", 2006): ALL k hash functions derive from ONE md5 digest —
+    * g_k(x) = (h1(x) + (k+1) * (h2(x) mod Q)) mod P, with h1/h2 the two
+    * independent 60-bit halves of the digest (hex chars 1-15 / 16-30).
+    * The digest dominates MinHash cost, so this is ~k times cheaper than
+    * one digest per seed. Exact long arithmetic, no overflow
+    * (h1 < 2^60, (k+1)*(h2 mod Q) < 2^60 for k <= 31), and bit-for-bit
+    * reproducible in DuckDB:
+    *   (CAST('0x'||substr(md5(x),1,15) AS BIGINT) +
+    *    (k+1) * (CAST('0x'||substr(md5(x),16,15) AS BIGINT) % Q)) % P
     */
-  def portablePairHash64(c: Column, seed: Int): Column = {
-    val digest = md5(concat(lit(s"p${seed / 2}|"), c.cast("string")))
-    val off = if (seed % 2 == 0) 1 else 16
-    conv(substring(digest, off, 15), 16, 10).cast("long")
+  val KmQ = 36028797018963913L // largest prime < 2^55
+  val KmP = 576460752303423433L // largest prime < 2^59
+
+  def portableKmHash64(c: Column, seed: Int): Column = {
+    val digest = md5(c.cast("string"))
+    val h1 = conv(substring(digest, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(digest, 16, 15), 16, 10).cast("long") % lit(KmQ)
+    (h1 + lit((seed + 1).toLong) * h2) % lit(KmP)
   }
 
   /** Fast path (not oracle-portable): seeded xxhash64. */
@@ -92,7 +101,7 @@ object GraftFunctions {
   def minhash(elems: Column, k: Int, portable: Boolean = false): Column = {
     val sigs = (0 until k).map { s =>
       val hashed =
-        if (portable) transform(elems, e => portablePairHash64(e, s))
+        if (portable) transform(elems, e => portableKmHash64(e, s))
         else transform(elems, e => fastHash64(e, s))
       coalesce(array_min(hashed), lit(Long.MaxValue))
     }
@@ -117,10 +126,11 @@ object GraftFunctions {
       portable: Boolean = false,
       sigCol: String = "minhash_sig"): org.apache.spark.sql.DataFrame = {
     val exploded = df.select(col(idCol), explode(elems).as("__e"))
-    // portable path: one md5 per seed pair (plain projection, so codegen
-    // subexpression elimination shares the digest between the two substrs)
+    // portable path: ONE md5 per element for all k functions (plain
+    // projection, so codegen subexpression elimination shares the digest
+    // across the k output columns)
     val hashCols = (0 until k).map { s =>
-      (if (portable) portablePairHash64(col("__e"), s) else fastHash64(col("__e"), s)).as(s"__h$s")
+      (if (portable) portableKmHash64(col("__e"), s) else fastHash64(col("__e"), s)).as(s"__h$s")
     }
     exploded.select(col(idCol) +: hashCols: _*)
       .groupBy(col(idCol))

@@ -15,13 +15,13 @@ object DedupQueries {
   import Tables.load
   import TextQueries.duckToks
 
-  /** DuckDB equivalent of GraftFunctions.portablePairHash64(col, seed):
-    * one md5 per seed pair, two 60-bit values per digest (hex 1-15/16-30).
+  /** DuckDB equivalent of GraftFunctions.portableKmHash64(col, seed):
+    * Kirsch-Mitzenmacher double hashing — all seeds from one md5 digest.
     */
-  private def duckHash(e: String, seed: Int): String = {
-    val off = if (seed % 2 == 0) 1 else 16
-    s"CAST('0x' || substr(md5('p${seed / 2}|' || $e), $off, 15) AS BIGINT)"
-  }
+  private def duckHash(e: String, seed: Int): String =
+    s"(CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) + " +
+      s"${seed + 1} * (CAST('0x' || substr(md5($e), 16, 15) AS BIGINT) % " +
+      s"${graft.functions.GraftFunctions.KmQ})) % ${graft.functions.GraftFunctions.KmP}"
 
   val MinhashK = 8
   val Bands = 4

@@ -42,9 +42,6 @@ object DistinguishingTokens {
         */
       commonEndTokens: Seq[String] = Nil)
 
-  /** Histogram map<string,int> of a (possibly duplicated) token array. */
-  private def hist(arr: Column): Column = histMap(arr)
-
   /** Filter a count-map to keys contained in `keys` array. */
   private def mapKeepKeysIn(m: Column, keys: Column): Column =
     map_filter(m, (k, _) => array_contains(keys, k))
@@ -78,30 +75,49 @@ object DistinguishingTokens {
       .withColumn("tokens_l", stripCommonTail(tokens(col("sig_text_l"))))
       .withColumn("tokens_r", stripCommonTail(tokens(col("sig_text_r"))))
 
-    // Step 5: per-messy-record block pool — flatten all candidate (l)
-    // tokens, histogram, keep tokens also in r; bigram analogues
+    // Step 5: per-messy-record block pool histograms, computed RELATIONALLY
+    // (explode -> map-side-combinable groupBy count -> sorted
+    // map_from_entries) instead of a per-row fold over the flattened pool:
+    // the fold form was an interpreted O(distinct^2) giant-array HOF that
+    // dominated refine wall and anti-scaled with cores
     // (identify_distinguishing_tokens.py:130-201).
+    def poolHist(elems: Column, out: String): DataFrame = tokenised
+      .select(col("conv_id_r"), explode(elems).as("e"))
+      .groupBy(col("conv_id_r"), col("e"))
+      .agg(count(lit(1)).cast("int").as("cnt"))
+      .groupBy(col("conv_id_r"))
+      // sort entries so downstream map_values folds are order-deterministic
+      .agg(map_from_entries(array_sort(collect_list(struct(col("e"), col("cnt")))))
+        .as(out))
+    val emptyHist = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<int>"))
+
+    // NB: the reference's bigram pool zips the *flattened* candidate list,
+    // creating spurious cross-record bigrams at list boundaries whose
+    // identity depends on the candidate ordering of a Python list
+    // (identify_distinguishing_tokens.py:164-171). A distributed
+    // collect_list order is not deterministic, so reproducing that quirk
+    // faithfully is impossible; we count within-candidate bigrams only —
+    // deterministic, and a strict subset of the reference's pool.
     val blockAgg = tokenised
       .groupBy(col("conv_id_r"))
-      .agg(
-        first(col("tokens_r")).as("g_tokens_r"),
-        flatten(collect_list(col("tokens_l"))).as("tokens_in_block_l"))
-      .withColumn("hist_all_tokens_in_block_l", hist(col("tokens_in_block_l")))
+      .agg(first(col("tokens_r")).as("g_tokens_r"))
+      .join(poolHist(col("tokens_l"), "hist_all_tokens_in_block_l"),
+        Seq("conv_id_r"), "left")
+      .join(poolHist(wordNgrams(col("tokens_l"), 2), "hist_all_bigrams_in_block_l"),
+        Seq("conv_id_r"), "left")
+      .withColumn("hist_all_tokens_in_block_l",
+        coalesce(col("hist_all_tokens_in_block_l"), emptyHist))
+      .withColumn("hist_all_bigrams_in_block_l",
+        coalesce(col("hist_all_bigrams_in_block_l"), emptyHist))
       .withColumn("hist_overlapping_tokens_r_block_l",
         mapKeepKeysIn(col("hist_all_tokens_in_block_l"), col("g_tokens_r")))
-      .withColumn("bigrams_in_block_l", wordNgrams(col("tokens_in_block_l"), 2))
-      .withColumn("hist_all_bigrams_in_block_l", hist(col("bigrams_in_block_l")))
       .withColumn("bigrams_r", wordNgrams(col("g_tokens_r"), 2))
       .withColumn("hist_overlapping_bigrams_r_block_l",
         mapKeepKeysIn(col("hist_all_bigrams_in_block_l"), col("bigrams_r")))
       .select("conv_id_r", "hist_all_tokens_in_block_l",
         "hist_overlapping_tokens_r_block_l", "hist_all_bigrams_in_block_l",
         "hist_overlapping_bigrams_r_block_l", "bigrams_r")
-
-    // NB: the block pool concatenates candidate token lists; the reference's
-    // bigram pool zips the *flattened* list (creating spurious cross-record
-    // bigrams at list boundaries — identify_distinguishing_tokens.py:164-171).
-    // We reproduce that faithfully via wordNgrams over the flattened array.
 
     // Step 6: per-pair maps (identify_distinguishing_tokens.py:204-301).
     val joined = tokenised.join(blockAgg, Seq("conv_id_r"), "left")
