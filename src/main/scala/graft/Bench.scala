@@ -56,9 +56,10 @@ object Bench {
       res.refined.count() // second pass is part of the pipeline's work
       val sec = (System.nanoTime() - t0) / 1e9
       // isolated scoring throughput (BASELINE gate: candidate-pairs-scored/
-      // sec): res.pairs is materialised above, so this times scoring alone
+      // sec): pairs + signatures are materialised above, so this times the
+      // feature-attach joins + scoring projection alone
       val tScore0 = System.nanoTime()
-      graft.score.Scoring.scoreDefault(res.pairs, 1e-6)
+      Pipeline.scorePairs(res.signatures, res.signatures, res.pairs, 1e-6)
         .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
       scoreSec = (System.nanoTime() - tScore0) / 1e9
       res.signatures.unpersist()

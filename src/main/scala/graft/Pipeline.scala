@@ -69,12 +69,29 @@ object Pipeline {
   private def configFingerprint(cfg: Config): String =
     Integer.toHexString(cfg.copy(checkpointDir = None).toString.hashCode)
 
-  /** Columns carried through blocking into scoring. */
+  /** Feature columns the score model reads (joined onto narrow pairs). */
   private val scoreCols = Seq(
     "sig_text", "turn_texts", "role_seq", "len_band",
     "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
         "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
         "numeric_token_1", "numeric_token_2", "numeric_token_3")
+
+  /** Attach the score-model feature columns to narrow (id_l, id_r,
+    * match_key) pairs from the signature tables (one row per id).
+    */
+  def attachScoreCols(lSigs: DataFrame, rSigs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lCarry = lSigs.select(
+      (col("conv_id").as("conv_id_l") +: scoreCols.map(c => col(c).as(c + "_l"))): _*)
+    val rCarry = rSigs.select(
+      (col("conv_id").as("conv_id_r") +: scoreCols.map(c => col(c).as(c + "_r"))): _*)
+    pairs.join(lCarry, Seq("conv_id_l")).join(rCarry, Seq("conv_id_r"))
+  }
+
+  /** Score narrow pairs against their signature features (the isolated
+    * scoring surface used by the benchmark's throughput metric).
+    */
+  def scorePairs(lSigs: DataFrame, rSigs: DataFrame, pairs: DataFrame, prior: Double): DataFrame =
+    Scoring.scoreDefault(attachScoreCols(lSigs, rSigs, pairs), prior)
 
   def run(spark: SparkSession, turnsIn: DataFrame, cfg: Config = Config()): Result = {
     // fail fast with ALL schema problems aggregated (reference:
@@ -112,19 +129,22 @@ object Pipeline {
         .filter(col("conv_id") =!= col("resolved_canonical_id"))
     }
 
-    // 3. blocking on everything (cascade edges merge in at the end)
+    // 3. blocking on everything (cascade edges merge in at the end).
+    // The pairs boundary stays NARROW (ids + match_key): materialising
+    // carry-fattened pairs (turn texts + TF maps per side) at a stage
+    // boundary measured ~100 s at 250k convs — the features are attached
+    // inside the scoring stage instead, which emits a narrow result.
     val pairs = staged("pairs") {
       Blocking.candidatePairsSelf(
         sigs, "conv_id",
         Blocking.defaultRules(Signatures.Bands),
         Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
-          snmSortCol = Some("sig_text")),
-        carryCols = scoreCols)
+          snmSortCol = Some("sig_text")))
     }
 
-    // 4. score
+    // 4. score (carry features joined in from the persisted signatures)
     val scored = staged("scored") {
-      Scoring.scoreDefault(pairs, cfg.prior)
+      Scoring.scoreDefault(attachScoreCols(sigs, sigs, pairs), cfg.prior)
         .filter(col("match_weight") > cfg.predictThreshold)
         .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
           "match_probability", "sig_text_l", "sig_text_r")
@@ -205,20 +225,20 @@ object Pipeline {
         canonSigs.select(col("conv_id"), col("sig_text"), col("block_key")))
     }
 
-    // 3. blocking on the carry-forward (unmatched messy records only)
+    // 3. blocking on the carry-forward (unmatched messy records only);
+    // narrow pairs boundary, features joined at scoring time (see run()).
     val pairs = staged("link_pairs") {
       val remaining = messySigs.join(det.select("conv_id"), Seq("conv_id"), "left_anti")
       Blocking.candidatePairsLink(
         canonSigs, remaining, "conv_id",
         Blocking.defaultRules(Signatures.Bands),
         Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
-          snmSortCol = Some("sig_text")),
-        carryCols = scoreCols)
+          snmSortCol = Some("sig_text")))
     }
 
     // 4. score + second pass
     val scored = staged("link_scored") {
-      Scoring.scoreDefault(pairs, cfg.prior)
+      Scoring.scoreDefault(attachScoreCols(canonSigs, messySigs, pairs), cfg.prior)
         .filter(col("match_weight") > cfg.predictThreshold)
         .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
           "match_probability", "sig_text_l", "sig_text_r")

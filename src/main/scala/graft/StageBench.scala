@@ -47,19 +47,16 @@ object StageBench {
     println(s"  cascade_links=${cascade.count()}")
     val pairs = timed("blocking")(mat(graft.blocking.Blocking.candidatePairsSelf(
       sigs, "conv_id", graft.blocking.Blocking.defaultRules(graft.signature.Signatures.Bands),
-      graft.blocking.Blocking.SkewConfig(maxBlockRows = 200, snmSortCol = Some("sig_text")),
-      carryCols = Seq("sig_text", "turn_texts", "role_seq", "len_band",
-        "salient_token_1", "salient_token_2", "salient_token_3", "token_freq_hist",
-        "very_unusual_tokens", "extremely_unusual_tokens", "n_turns",
-        "numeric_token_1", "numeric_token_2", "numeric_token_3"))))
+      graft.blocking.Blocking.SkewConfig(maxBlockRows = 200, snmSortCol = Some("sig_text")))))
     val nPairs = pairs.count()
     println(s"  pairs=$nPairs")
     pairs.groupBy("match_key").count().orderBy("match_key").collect()
       .foreach(r => println(s"  rule_${r.get(0)}_pairs=${r.get(1)}"))
-    val scored = timed("scoring")(mat(graft.score.Scoring.scoreDefault(pairs, 1e-6)
-      .filter(col("match_weight") > -12)
-      .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
-        "match_probability", "sig_text_l", "sig_text_r")))
+    val scored = timed("scoring")(mat(
+      graft.Pipeline.scorePairs(sigs, sigs, pairs, 1e-6)
+        .filter(col("match_weight") > -12)
+        .select("conv_id_l", "conv_id_r", "match_key", "match_weight",
+          "match_probability", "sig_text_l", "sig_text_r")))
     println(s"  scored=${scored.count()}")
     val refined = timed("refine")(mat(graft.refine.DistinguishingTokens.improve(scored)))
     println(s"  refined=${refined.count()}")

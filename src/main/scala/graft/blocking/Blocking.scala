@@ -217,18 +217,22 @@ object Blocking {
         ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"))
     val ultra = hot.filter(col("count") > ultraCap).select(col("rule"), col("key"))
 
-    // materialise the (tiny, persisted) hot-key stats once and PRUNE the
-    // skew machinery from the plan when a tier is empty — the common case
-    // pays one aggregate, not 2 x rules broadcast joins + salvage subplans
-    val tierRow = hot.agg(
-      coalesce(sum(when(col("count") <= ultraCap, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("count") > ultraCap, 1L).otherwise(0L)), lit(0L))).head()
-    val (nSaltKeys, nUltraKeys) = (tierRow.getLong(0), tierRow.getLong(1))
+    // materialise the (tiny, persisted) hot-key stats once: per-rule salt /
+    // ultra counts drive driver-side plan PRUNING — the common all-cool case
+    // pays one aggregate and none of the skew machinery. One row per rule,
+    // so the collect is bounded by the rule count.
+    val tierStats = hot.groupBy(col("rule")).agg(
+        sum(when(col("count") <= ultraCap, 1L).otherwise(0L)).as("n_salt"),
+        sum(when(col("count") > ultraCap, 1L).otherwise(0L)).as("n_ultra"))
+      .collect()
+    val ultraRules: Set[Int] = tierStats.filter(_.getLong(2) > 0).map(_.getInt(0)).toSet
+    val anySalt: Boolean = tierStats.exists(_.getLong(1) > 0)
 
-    // Null ultra-hot keys on BOTH sides before any join: the rule neither
+    // Null ultra-hot keys on BOTH sides before the join: the rule neither
     // emits nor excludes on them (exclusion on a key whose pairs were not
-    // fully emitted would silently lose recall — ADVICE.md round 1).
-    def nullUltra(df: DataFrame): DataFrame = rules.indices.foldLeft(df) { (d, i) =>
+    // fully emitted would silently lose recall — ADVICE.md round 1). Only
+    // rules that actually have ultra keys pay the broadcast lookup.
+    def nullUltra(df: DataFrame): DataFrame = ultraRules.toSeq.sorted.foldLeft(df) { (d, i) =>
       val u = broadcast(ultra.filter(col("rule") === i)
         .select(col("key").as(s"__uk_$i"), lit(true).as(s"__uh_$i")))
       d.join(u, d(s"__bk_$i") === col(s"__uk_$i"), "left")
@@ -236,61 +240,60 @@ object Blocking {
           when(col(s"__uh_$i"), lit(null)).otherwise(col(s"__bk_$i")))
         .drop(s"__uk_$i", s"__uh_$i")
     }
-    val lK = if (nUltraKeys == 0) lNarrow else nullUltra(lNarrow)
-    val rK = if (nUltraKeys == 0) rNarrow else nullUltra(rNarrow)
+    val lK = if (ultraRules.isEmpty) lNarrow else nullUltra(lNarrow)
+    val rK = if (ultraRules.isEmpty) rNarrow else nullUltra(rNarrow)
 
-    def excludeEarlier(joined: DataFrame, lSide: DataFrame, rSide: DataFrame, i: Int) =
-      (0 until i).foldLeft(joined) { (df, j) =>
-        df.filter(not(coalesce(lSide(s"__bk_$j") === rSide(s"__bk_$j"), lit(false))))
-      }
+    // ---- ONE unified join for every rule and tier, keyed (rule, key,
+    // salt). Each side explodes its key array to (rule, key) rows carrying
+    // the full key array for exclusion; salt-tier keys get g salts (left
+    // keeps one deterministic salt, right replicates to all g — every
+    // equal-key pair still emitted exactly once, spread over g reducer
+    // partitions); cool keys ride the same join with salt 0. One shuffle
+    // join replaces #rules separate joins — at 250k convs the per-rule plan
+    // was STAGE-LATENCY bound (~100 s at both local[8] and local[32]).
+    val kArr = array(rules.indices.map(i => col(s"__bk_$i")): _*)
+    def explodeSide(df: DataFrame, idName: String, arrName: String): DataFrame =
+      df.withColumn(arrName, kArr)
+        .select(col(idName), col(arrName),
+          posexplode(col(arrName)).as(Seq("rule", "key")))
+        .filter(col("key").isNotNull)
+
+    val lEx = explodeSide(lK, s"${idCol}_l", "__karr_l")
+    val rEx = explodeSide(rK, s"${idCol}_r", "__karr_r")
+    val saltLookup = broadcast(saltInfo)
+    val lSide =
+      if (!anySalt) lEx.withColumn("__salt", lit(0))
+      else lEx.join(saltLookup, Seq("rule", "key"), "left")
+        .withColumn("__salt", when(col("g").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int")))
+        .drop("g")
+    val rSide =
+      if (!anySalt) rEx.withColumn("__salt", lit(0))
+      else rEx.join(saltLookup, Seq("rule", "key"), "left")
+        .withColumn("__salt", explode(when(col("g").isNull, array(lit(0)))
+          .otherwise(sequence(lit(0), col("g") - 1))))
+        .drop("g")
+
+    val joined0 = lSide.join(rSide, Seq("rule", "key", "__salt"))
+    val joined =
+      if (selfDedup) joined0.filter(col(s"${idCol}_l") < col(s"${idCol}_r")) else joined0
+
+    // Splink-style earlier-rule exclusion as one static codegen'd CASE:
+    // keep a pair at rule r only when no rule j < r also matched it.
+    def eq(j: Int): Column = coalesce(
+      element_at(col("__karr_l"), j + 1) === element_at(col("__karr_r"), j + 1), lit(false))
+    val keep = rules.indices.foldLeft(lit(false)) { (acc, rI) =>
+      val noEarlier = (0 until rI).foldLeft(lit(true))((a, j) => a && not(eq(j)))
+      when(col("rule") === rI, noEarlier).otherwise(acc)
+    }
+    val mainPairs = joined.filter(keep)
+      .select(col(s"${idCol}_l"), col(s"${idCol}_r"), col("rule").as("match_key"))
     val idPair = Seq(col(s"${idCol}_l"), col(s"${idCol}_r"), col("match_key"))
 
-    val perRule = rules.indices.map { i =>
-      val saltKeysI = broadcast(saltInfo.filter(col("rule") === i)
-        .select(col("key").as(s"__bk_$i"), col("g")))
-
-      // ---- tier 1: plain join on cool keys (salt-tier keys excluded here,
-      // they are emitted by the salted join below; ultra keys already null).
-      def coolSide(df: DataFrame) = {
-        val nn = df.filter(col(s"__bk_$i").isNotNull)
-        if (nSaltKeys == 0) nn
-        else nn.join(saltKeysI.select(s"__bk_$i"), Seq(s"__bk_$i"), "left_anti")
-      }
-      val lCool = coolSide(lK)
-      val rCool = coolSide(rK)
-      val coolCond =
-        if (selfDedup)
-          lCool(s"__bk_$i") === rCool(s"__bk_$i") && col(s"${idCol}_l") < col(s"${idCol}_r")
-        else lCool(s"__bk_$i") === rCool(s"__bk_$i")
-      val cool = excludeEarlier(lCool.join(rCool, coolCond), lCool, rCool, i)
-        .withColumn("match_key", lit(i)).select(idPair: _*)
-
-      // ---- tier 2: salted join. Left keeps one salt, right replicates to
-      // all g salts — every equal-key pair still emitted exactly once, but
-      // spread across g reducer partitions.
-      if (nSaltKeys == 0) cool
-      else {
-        val lSalt = lK.join(saltKeysI, Seq(s"__bk_$i"))
-          .withColumn("__salt", pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int"))
-          .drop("g")
-        val rSalt = rK.join(saltKeysI, Seq(s"__bk_$i"))
-          .withColumn("__salt", explode(sequence(lit(0), col("g") - 1)))
-          .drop("g")
-        val saltCond0 = lSalt(s"__bk_$i") === rSalt(s"__bk_$i") &&
-          lSalt("__salt") === rSalt("__salt")
-        val saltCond =
-          if (selfDedup) saltCond0 && col(s"${idCol}_l") < col(s"${idCol}_r") else saltCond0
-        val salted = excludeEarlier(lSalt.join(rSalt, saltCond), lSalt, rSalt, i)
-          .withColumn("match_key", lit(i)).select(idPair: _*)
-        cool.unionByName(salted)
-      }
-    }
-    val mainPairs = perRule.reduce(_ unionByName _)
-
-    // ---- tier 3: sorted-neighborhood salvage over ultra-hot blocks
+    // ---- sorted-neighborhood salvage over ultra-hot blocks
     // (plan built only when an ultra key exists).
     val allPairs =
-      if (nUltraKeys == 0) mainPairs
+      if (ultraRules.isEmpty) mainPairs
       else snmSalvage(lKeyed, rKeyed, ultra, rules, idCol, skew, selfDedup) match {
         case None => mainPairs
         case Some(s) =>

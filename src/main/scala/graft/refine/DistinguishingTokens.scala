@@ -59,10 +59,16 @@ object DistinguishingTokens {
     val topN = good.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= params.topNMatches).drop("__rn")
 
-    // Step 3-4: tokenise both sides (texts are already normalised upstream;
-    // re-split defensively like the reference re-tokenises), stripping up
-    // to two trailing common end tokens per side (reference applies its
-    // tail filter twice — identify_distinguishing_tokens.py:93-94).
+    // Step 3-4: tokenise both sides. sig_text is already in normal form
+    // (uppercase, punctuation-free — it is a concat_ws of normText outputs,
+    // and normText is idempotent, property-tested), so a whitespace split
+    // is EXACTLY GraftFunctions.tokens here at none of its regex cost —
+    // the full normalisation chain ran per pair and dominated refine CPU.
+    // Trailing common end tokens stripped up to twice per side (reference
+    // applies its tail filter twice — identify_distinguishing_tokens.py:93-94).
+    def fastToks(c: Column): Column =
+      when(length(c) === 0, array().cast("array<string>"))
+        .otherwise(split(c, "\\s+"))
     def stripCommonTail(toks: Column): Column =
       if (params.commonEndTokens.isEmpty) toks
       else {
@@ -72,8 +78,8 @@ object DistinguishingTokens {
         stripOnce(stripOnce(toks))
       }
     val tokenised = topN
-      .withColumn("tokens_l", stripCommonTail(tokens(col("sig_text_l"))))
-      .withColumn("tokens_r", stripCommonTail(tokens(col("sig_text_r"))))
+      .withColumn("tokens_l", stripCommonTail(fastToks(col("sig_text_l"))))
+      .withColumn("tokens_r", stripCommonTail(fastToks(col("sig_text_r"))))
 
     // Step 5: per-messy-record block pool histograms, computed RELATIONALLY
     // (explode -> map-side-combinable groupBy count -> sorted
