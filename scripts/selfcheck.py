@@ -10,10 +10,13 @@ import sys, os, json, glob
 import duckdb
 
 def canon(rows):
-    # round-trip floats to 9dp strings to match driver-style value hashing
+    # FULL-precision float repr: the driver hashes doubles at full precision,
+    # so a 9-sig-digit canonicalisation here can pass where the driver fails
+    # (the CORRECTNESS_r02 q24/q30/q36 ulp class). repr() round-trips the
+    # exact binary double, making this check as strict as the driver's.
     out = []
     for row in rows:
-        out.append(tuple("%.9g" % v if isinstance(v, float) else str(v) for v in row))
+        out.append(tuple(repr(v) if isinstance(v, float) else str(v) for v in row))
     return sorted(out)
 
 def main(sf_dir, out_dir):

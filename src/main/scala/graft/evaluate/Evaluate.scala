@@ -79,7 +79,11 @@ object Evaluate {
     * @param matches (conv_id_r, conv_id_l, match_reason) — one row per
     *                matched record (e.g. `mergeMatches` output)
     * @param labels  (conv_id, correct_conv_id) ground truth
-    * @return (match_reason incl. "OVERALL", n_matches, n_correct, accuracy)
+    * @return (match_reason incl. "OVERALL", n_matches, n_correct,
+    *         accuracy_pct_e4, accuracy_pct) — accuracy_pct_e4 is the
+    *         percentage at 4 dp scaled ×10^4 as BIGINT (exact integer
+    *         arithmetic, engine-parity-safe for the oracle hash); the
+    *         DOUBLE accuracy_pct is for human consumption only.
     */
   def accuracyByReason(matches: DataFrame, labels: DataFrame): DataFrame = {
     val joined = matches.join(
@@ -93,7 +97,10 @@ object Evaluate {
       .select(
         coalesce(col("match_reason"), lit("OVERALL")).as("match_reason"),
         col("n_matches"), col("n_correct"),
-        round(col("n_correct") * 100.0 / col("n_matches"), 4).as("accuracy_pct"))
+        // pct·1e4 = n_correct·1e6/n_matches, round-half-up via (2a+b) div 2b
+        expr("(2 * n_correct * 1000000 + n_matches) div (2 * n_matches)")
+          .as("accuracy_pct_e4"),
+        (col("n_correct") * 100.0 / col("n_matches")).as("accuracy_pct"))
   }
 
   /** The nth false-positive example in deterministic (conv_id_r) order —

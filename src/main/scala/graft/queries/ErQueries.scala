@@ -386,6 +386,7 @@ object ErQueries {
           .select(col("doc_id_r").as("conv_id_r"), col("doc_id_l").as("conv_id_l"),
             when(col("match_weight") > 0, "strong").otherwise("weak").as("match_reason"))
         graft.evaluate.Evaluate.accuracyByReason(matches, labels)
+          .drop("accuracy_pct") // DOUBLE is human-facing; hash the exact BIGINT
       },
       Some(s"""
         WITH pairs AS ($duckBlockedPairs),
@@ -405,8 +406,9 @@ object ErQueries {
                  CASE WHEN b.conv_id_l = l.correct_conv_id THEN 1 ELSE 0 END AS is_correct
           FROM best b JOIN labels l ON b.conv_id_r = l.conv_id)
         SELECT coalesce(match_reason, 'OVERALL') AS match_reason,
-               count(*) AS n_matches, sum(is_correct) AS n_correct,
-               round(sum(is_correct) * 100.0 / count(*), 4) AS accuracy_pct
+               count(*) AS n_matches, CAST(sum(is_correct) AS BIGINT) AS n_correct,
+               CAST((2 * sum(is_correct) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+                 AS accuracy_pct_e4
         FROM joined GROUP BY GROUPING SETS ((match_reason), ())
       """)
     ),

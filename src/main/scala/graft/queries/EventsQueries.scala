@@ -24,13 +24,14 @@ object EventsQueries {
               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
         val withSession = withGap.withColumn("session_seq",
           sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-        // `value` is an exact 2-dp double in the testdata; summing via
-        // decimal is exact and order-independent (IEEE double partial-agg
-        // order varies per run and flips 4-dp rounding boundaries —
-        // CORRECTNESS_r01 q24 hash flake).
+        // `value` is an exact 2-dp double in the testdata; the decimal sum is
+        // exact and order-independent, and emitting it as integer CENTS
+        // sidesteps the remaining ulp-level double-representation divergence
+        // between Spark round (BigDecimal HALF_UP) and DuckDB round
+        // (float math) — the residual CORRECTNESS_r02 q24 hash red.
         withSession.groupBy(col("user_id"), col("session_seq"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value").cast("decimal(20,2)")).cast("double"), 4).as("session_value"),
+            (sum(col("value").cast("decimal(20,2)")) * 100).cast("long").as("session_value_c"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       },
       Some("""
@@ -46,7 +47,7 @@ object EventsQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM g)
         SELECT user_id, session_seq, count(*) AS n_events,
-               round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 4) AS session_value,
+               CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT) AS session_value_c,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         FROM sess GROUP BY user_id, session_seq
       """)
@@ -60,13 +61,13 @@ object EventsQueries {
         e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast("decimal(20,2)")).cast("double"), 4).as("total_value"),
+            (sum(col("value").cast("decimal(20,2)")) * 100).cast("long").as("total_value_c"),
             countDistinct(col("user_id")).as("n_users"))
       },
       Some("""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 4) AS total_value,
+               CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT) AS total_value_c,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
       """)

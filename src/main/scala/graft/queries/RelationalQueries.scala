@@ -20,29 +20,35 @@ object RelationalQueries {
       "q01_agg_lineitem",
       (s, dir) => {
         val li = load(s, dir, "lineitem")
-        // Exact-decimal aggregation: all money columns are 2-dp-exact
-        // doubles, so decimal sums are exact and order-independent (IEEE
-        // partial-agg order varies per run and can flip rounding boundaries
-        // — the q24/q30 hash-flake class from CORRECTNESS_r01).
+        // Integer-scaled outputs: emitting any rounded DOUBLE risks ulp-level
+        // representation divergence between Spark (BigDecimal HALF_UP on the
+        // exact binary expansion) and DuckDB (float-math round) even when the
+        // decimal sums are exact — the q24/q30/q36 driver-hash class from
+        // CORRECTNESS_r02. Money columns are 2-dp-exact, so cents (×100) and
+        // basis-point (×1e4) BIGINTs are exact on both engines; ratios use the
+        // shared round-half-up identity (2a+b) div (2b).
         val revenue = col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
         li.filter(col("l_quantity") > 5)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity").cast("decimal(20,2)")).cast("double"), 2).as("sum_qty"),
-            round(sum(revenue).cast("double"), 2).as("revenue"),
-            round(sum(col("l_discount").cast("decimal(20,2)")).cast("double") /
-              count(col("l_discount")), 6).as("avg_disc"),
+            (sum(col("l_quantity").cast("decimal(20,2)")) * 100).cast("long").as("sum_qty_c"),
+            (sum(revenue) * 10000).cast("long").as("revenue_e4"),
+            (sum(col("l_discount").cast("decimal(20,2)")) * 100).cast("long").as("disc_c"),
             count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty_c"), col("revenue_e4"),
+            // avg_disc at 6 dp, scaled 1e6: disc_c/100/n * 1e6 = disc_c*1e4/n, half-up
+            expr("(2 * disc_c * 10000 + n) div (2 * n)").as("avg_disc_e6"),
+            col("n"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
-                 AS revenue,
-               round(CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) / count(l_discount), 6)
-                 AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) * 100 AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT)
+                 AS revenue_e4,
+               CAST((2 * CAST(sum(CAST(l_discount AS DECIMAL(20,2))) * 100 AS BIGINT) * 10000
+                     + count(*)) // (2 * count(*)) AS BIGINT) AS avg_disc_e6,
                count(*) AS n
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag, l_linestatus
@@ -65,16 +71,16 @@ object RelationalQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .filter(col("o_orderstatus") === "F")
           .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
               (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-              .cast("double"), 2).as("revenue"),
+              * 10000).cast("long").as("revenue_e4"),
             count(lit(1)).as("n_lines"))
       },
       Some("""
         SELECT r_name, n_name,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
-                 AS revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT)
+                 AS revenue_e4,
                count(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -266,29 +272,34 @@ object RelationalQueries {
       "q30_grouping_sets",
       (s, dir) => {
         val d = load(s, dir, "documents")
-        // avg_chars is a 4-dp-rounded double -> decimal(20,4) cast is exact;
-        // the decimal sum makes the outer avg order-independent (q30 was
-        // hash-flaky in CORRECTNESS_r01 from double partial-agg order).
+        // All-integer avg-of-avg: per-group mean chars at 4 dp scaled 1e4
+        // ((2·1e4·sum + n) div 2n = round-half-up), then the outer mean of
+        // those integers — no DOUBLE ever emitted, so Spark and DuckDB agree
+        // bit-for-bit (the CORRECTNESS_r02 ulp class).
         d.groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("avg_chars_e4", expr("(20000 * sum_chars + n) div (2 * n)"))
           .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()), col("lang"), col("source"))
           .agg(sum(col("n")).as("n_docs"),
-            round(sum(col("avg_chars").cast("decimal(20,4)")).cast("double") /
-              count(col("avg_chars")), 4).as("avg_of_avg"))
+            sum(col("avg_chars_e4")).as("sum_avg_e4"),
+            count(col("avg_chars_e4")).as("n_groups"))
           .select(
             coalesce(col("lang"), lit("<all>")).as("lang"),
             coalesce(col("source"), lit("<all>")).as("source"),
-            col("n_docs"), col("avg_of_avg"))
+            col("n_docs"),
+            expr("(2 * sum_avg_e4 + n_groups) div (2 * n_groups)").as("avg_of_avg_e4"))
       },
       Some("""
         WITH base AS (
-          SELECT lang, source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+          SELECT lang, source, count(*) AS n,
+                 CAST((20000 * sum(n_chars) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS avg_chars_e4
           FROM documents GROUP BY lang, source)
         SELECT coalesce(lang, '<all>') AS lang,
                coalesce(source, '<all>') AS source,
-               sum(n) AS n_docs,
-               round(CAST(sum(CAST(avg_chars AS DECIMAL(20,4))) AS DOUBLE) / count(avg_chars), 4)
-                 AS avg_of_avg
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST((2 * sum(avg_chars_e4) + count(avg_chars_e4))
+                    // (2 * count(avg_chars_e4)) AS BIGINT) AS avg_of_avg_e4
         FROM base GROUP BY GROUPING SETS ((lang), (source), ())
       """)
     )
