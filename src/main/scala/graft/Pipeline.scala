@@ -52,7 +52,21 @@ object Pipeline {
       pairs: DataFrame,
       scored: DataFrame,
       refined: DataFrame,
-      clusters: DataFrame)
+      clusters: DataFrame,
+      /** per-rule skew-tier stats from the blocking stage (empty when the
+        * pairs stage was resumed from checkpoint — then the stats live in
+        * the checkpoint's `_info_pairs.json` sidecar)
+        */
+      tierStats: Seq[blocking.RuleTierStats] = Nil,
+      nBlockingRules: Int = 0) {
+    /** Pairs that took the SNM salvage path (match_key >= #rules) — the
+      * observable volume of lossy ultra-hot handling in this run. Counting
+      * scans the (narrow, materialised) pairs boundary.
+      */
+    def salvagePairCount: Long = pairs.filter(col("match_key") >= nBlockingRules).count()
+    def saltedKeyCount: Long = tierStats.map(_.nSaltKeys).sum
+    def ultraKeyCount: Long = tierStats.map(_.nUltraKeys).sum
+  }
 
   final case class LinkResult(
       messySignatures: DataFrame,
@@ -61,13 +75,28 @@ object Pipeline {
       pairs: DataFrame,
       scored: DataFrame,
       bestMatches: DataFrame,
-      merged: DataFrame)
+      merged: DataFrame,
+      tierStats: Seq[blocking.RuleTierStats] = Nil,
+      nBlockingRules: Int = 0) {
+    def salvagePairCount: Long = pairs.filter(col("match_key") >= nBlockingRules).count()
+  }
 
   /** Checkpoint-invalidation fingerprint: every config knob except the
-    * checkpoint location itself.
+    * checkpoint location itself. 128-bit MD5 — a 32-bit String.hashCode
+    * collides with ~50% chance after ~77k distinct configs (ADVICE r2),
+    * silently reusing a stale stage; MD5 makes that effectively impossible.
     */
-  private def configFingerprint(cfg: Config): String =
-    Integer.toHexString(cfg.copy(checkpointDir = None).toString.hashCode)
+  private def configFingerprint(cfg: Config): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(cfg.copy(checkpointDir = None).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def tierStatsJson(stats: Seq[blocking.RuleTierStats]): String =
+    stats.map(t =>
+      s"""{"rule":${t.rule},"n_salt_keys":${t.nSaltKeys},"n_ultra_keys":${t.nUltraKeys}}""")
+      .mkString("[", ",", "]")
 
   /** Feature columns the score model reads (joined onto narrow pairs). */
   private val scoreCols = Seq(
@@ -134,13 +163,18 @@ object Pipeline {
     // carry-fattened pairs (turn texts + TF maps per side) at a stage
     // boundary measured ~100 s at 250k convs — the features are attached
     // inside the scoring stage instead, which emits a narrow result.
+    val rules = Blocking.defaultRules(Signatures.Bands)
+    var tierStats: Seq[blocking.RuleTierStats] = Nil
     val pairs = staged("pairs") {
-      Blocking.candidatePairsSelf(
-        sigs, "conv_id",
-        Blocking.defaultRules(Signatures.Bands),
+      val res = Blocking.candidatePairsSelfWithStats(
+        sigs, "conv_id", rules,
         Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
           snmSortCol = Some("sig_text")))
+      tierStats = res.tierStats
+      res.pairs
     }
+    // skew observability survives in the checkpoint dir next to the stage
+    if (tierStats.nonEmpty) ckpt.foreach(_.writeInfo("pairs", tierStatsJson(tierStats)))
 
     // 4. score (carry features joined in from the persisted signatures)
     val scored = staged("scored") {
@@ -172,7 +206,7 @@ object Pipeline {
         checkpointDir = cfg.checkpointDir.map(_ + "/cc"))
     }
 
-    Result(sigs, pairs, scored, refined, clusters)
+    Result(sigs, pairs, scored, refined, clusters, tierStats, rules.length)
   }
 
   /** Link-mode pipeline: match each messy conversation to its best
@@ -227,14 +261,18 @@ object Pipeline {
 
     // 3. blocking on the carry-forward (unmatched messy records only);
     // narrow pairs boundary, features joined at scoring time (see run()).
+    val rules = Blocking.defaultRules(Signatures.Bands)
+    var tierStats: Seq[blocking.RuleTierStats] = Nil
     val pairs = staged("link_pairs") {
       val remaining = messySigs.join(det.select("conv_id"), Seq("conv_id"), "left_anti")
-      Blocking.candidatePairsLink(
-        canonSigs, remaining, "conv_id",
-        Blocking.defaultRules(Signatures.Bands),
+      val res = Blocking.candidatePairsLinkWithStats(
+        canonSigs, remaining, "conv_id", rules,
         Blocking.SkewConfig(cfg.maxBlockRows, cfg.maxSaltFactor, cfg.snmWindow,
           snmSortCol = Some("sig_text")))
+      tierStats = res.tierStats
+      res.pairs
     }
+    if (tierStats.nonEmpty) ckpt.foreach(_.writeInfo("link_pairs", tierStatsJson(tierStats)))
 
     // 4. score + second pass
     val scored = staged("link_scored") {
@@ -258,6 +296,6 @@ object Pipeline {
     val merged = staged("link_merged") {
       graft.evaluate.Evaluate.mergeMatches(det, best)
     }
-    LinkResult(messySigs, canonSigs, det, pairs, scored, best, merged)
+    LinkResult(messySigs, canonSigs, det, pairs, scored, best, merged, tierStats, rules.length)
   }
 }

@@ -37,7 +37,22 @@ import org.apache.spark.sql.functions._
   */
 final case class BlockingRule(name: String, leftKey: Column, rightKey: Column)
 
+/** Per-rule skew-tier observability: how many of a rule's keys were salted
+  * and how many were routed to SNM salvage (reference analogue: match-reason
+  * metrics, post_linkage/analyse_results.py:24-45).
+  */
+final case class RuleTierStats(rule: Int, nSaltKeys: Long, nUltraKeys: Long)
+
+/** Candidate pairs + the skew-tier stats observed while planning them. */
+final case class BlockingResult(pairs: DataFrame, tierStats: Seq[RuleTierStats])
+
 object Blocking {
+
+  /** Hot-key sets up to this size are collected to the driver as local
+    * relations (they are broadcast downstream anyway) so the stats aggregate
+    * can be unpersisted immediately; larger sets stay distributed.
+    */
+  val LocalHotKeyLimit = 100000L
 
   /** Key separator for composite keys; ASCII unit separator avoids
     * accidental collisions with token text.
@@ -105,7 +120,16 @@ object Blocking {
       idCol: String,
       rules: Seq[BlockingRule],
       skew: SkewConfig = SkewConfig(),
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil): DataFrame =
+    candidatePairsSelfWithStats(sigs, idCol, rules, skew, carryCols).pairs
+
+  /** Self-dedup pair generation, also returning per-rule skew-tier stats. */
+  def candidatePairsSelfWithStats(
+      sigs: DataFrame,
+      idCol: String,
+      rules: Seq[BlockingRule],
+      skew: SkewConfig = SkewConfig(),
+      carryCols: Seq[String] = Nil): BlockingResult = {
     val l = sigs.toDF(sigs.columns.map(_ + "_l"): _*)
     val r = sigs.toDF(sigs.columns.map(_ + "_r"): _*)
     candidatePairs(l, r, idCol, rules, skew, selfDedup = true, carryCols)
@@ -118,7 +142,17 @@ object Blocking {
       idCol: String,
       rules: Seq[BlockingRule],
       skew: SkewConfig = SkewConfig(),
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil): DataFrame =
+    candidatePairsLinkWithStats(left, right, idCol, rules, skew, carryCols).pairs
+
+  /** Link-mode pair generation, also returning per-rule skew-tier stats. */
+  def candidatePairsLinkWithStats(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      rules: Seq[BlockingRule],
+      skew: SkewConfig = SkewConfig(),
+      carryCols: Seq[String] = Nil): BlockingResult = {
     val l = left.toDF(left.columns.map(_ + "_l"): _*)
     val r = right.toDF(right.columns.map(_ + "_r"): _*)
     candidatePairs(l, r, idCol, rules, skew, selfDedup = false, carryCols)
@@ -169,7 +203,7 @@ object Blocking {
       rules: Seq[BlockingRule],
       skew: SkewConfig,
       selfDedup: Boolean,
-      carryCols: Seq[String]): DataFrame = {
+      carryCols: Seq[String]): BlockingResult = {
     val cap = skew.maxBlockRows
     val ultraCap = cap.toLong * skew.maxSaltFactor
 
@@ -199,8 +233,13 @@ object Blocking {
 
     // ALL rules' per-key block sizes in ONE pass over the exploded
     // (rule, key) stream per side — a single scan regardless of rule count
-    // (matters at 100 TB). For link mode a key's tier is driven by the
-    // larger side (pair count ~ cl * cr).
+    // (matters at 100 TB). A key's tier is driven by its PAIR VOLUME: for
+    // self-dedup that is ~c^2/2, so the equivalent block size is c itself;
+    // for link mode it is cl*cr, so the equivalent size is sqrt(cl*cr) — a
+    // (huge x tiny) key has linear pair volume and must NOT be routed to
+    // lossy SNM salvage (ADVICE r2: tiering by max side dropped recall).
+    // `keep_l` picks which side keeps a single salt (is partitioned): the
+    // bigger side, so the replication factor hits the smaller side.
     def keyCounts(df: DataFrame) = df
       .select(explode(array(rules.indices.map(i =>
         struct(lit(i).as("rule"), col(s"__bk_$i").as("key"))): _*)).as("rk"))
@@ -208,14 +247,17 @@ object Blocking {
       .groupBy(col("rk.rule").as("rule"), col("rk.key").as("key"))
       .count()
     val counts =
-      if (selfDedup) keyCounts(lNarrow)
-      else keyCounts(lNarrow).unionByName(keyCounts(rNarrow))
-        .groupBy("rule", "key").agg(max(col("count")).as("count"))
+      if (selfDedup) keyCounts(lNarrow).withColumn("keep_l", lit(true))
+      else {
+        val cl = keyCounts(lNarrow).withColumnRenamed("count", "cl")
+        val cr = keyCounts(rNarrow).withColumnRenamed("count", "cr")
+        // inner join: a key present on only one side emits no pairs
+        cl.join(cr, Seq("rule", "key"))
+          .select(col("rule"), col("key"),
+            ceil(sqrt(col("cl") * col("cr"))).cast("long").as("count"),
+            (col("cl") >= col("cr")).as("keep_l"))
+      }
     val hot = counts.filter(col("count") > cap).persist()
-    val saltInfo = hot.filter(col("count") <= ultraCap)
-      .select(col("rule"), col("key"),
-        ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"))
-    val ultra = hot.filter(col("count") > ultraCap).select(col("rule"), col("key"))
 
     // materialise the (tiny, persisted) hot-key stats once: per-rule salt /
     // ultra counts drive driver-side plan PRUNING — the common all-cool case
@@ -227,6 +269,43 @@ object Blocking {
       .collect()
     val ultraRules: Set[Int] = tierStats.filter(_.getLong(2) > 0).map(_.getInt(0)).toSet
     val anySalt: Boolean = tierStats.exists(_.getLong(1) > 0)
+    val statsOut: Seq[RuleTierStats] = tierStats.map(r =>
+      RuleTierStats(r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_.rule).toSeq
+
+    // Hot-key tables are bounded by the hot-key count; when small enough
+    // (the overwhelmingly common case — keys above cap are rare by
+    // definition) collect them to the driver as local relations and drop
+    // the cached stats aggregate immediately: repeated invocations (bench
+    // reps, runLink after run) must not accumulate cached partitions for
+    // the lifetime of the SparkContext (ADVICE r2). Beyond the limit the
+    // distributed persisted frames are kept (correctness unchanged).
+    val totalHot = tierStats.map(r => r.getLong(1) + r.getLong(2)).sum
+    val sp = l.sparkSession
+    val (saltInfo, ultra) =
+      if (totalHot == 0) {
+        hot.unpersist()
+        (sp.emptyDataFrame, sp.emptyDataFrame)
+      } else if (totalHot <= LocalHotKeyLimit) {
+        import sp.implicits._
+        val hotRows = hot.select(col("rule"), col("key"), col("count"), col("keep_l"))
+          .collect()
+        hot.unpersist()
+        val saltLocal = hotRows.toSeq
+          .filter(_.getLong(2) <= ultraCap)
+          .map(r => (r.getInt(0), r.getString(1),
+            math.ceil(r.getLong(2) / cap.toDouble).toInt, r.getBoolean(3)))
+          .toDF("rule", "key", "g", "keep_l")
+        val ultraLocal = hotRows.toSeq
+          .filter(_.getLong(2) > ultraCap)
+          .map(r => (r.getInt(0), r.getString(1)))
+          .toDF("rule", "key")
+        (saltLocal, ultraLocal)
+      } else {
+        (hot.filter(col("count") <= ultraCap)
+          .select(col("rule"), col("key"),
+            ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"), col("keep_l")),
+          hot.filter(col("count") > ultraCap).select(col("rule"), col("key")))
+      }
 
     // Null ultra-hot keys on BOTH sides before the join: the rule neither
     // emits nor excludes on them (exclusion on a key whose pairs were not
@@ -260,19 +339,23 @@ object Blocking {
 
     val lEx = explodeSide(lK, s"${idCol}_l", "__karr_l")
     val rEx = explodeSide(rK, s"${idCol}_r", "__karr_r")
+    // Per-key salt roles: the keep side (bigger) holds ONE deterministic
+    // salt — it is partitioned into g buckets; the other side replicates to
+    // all g salts. Every equal-key pair still lands in exactly one bucket.
     val saltLookup = broadcast(saltInfo)
+    def salted(df: DataFrame, idName: String, keeps: Column): DataFrame =
+      df.join(saltLookup, Seq("rule", "key"), "left")
+        .withColumn("__salt", explode(
+          when(col("g").isNull, array(lit(0)))
+            .when(keeps, array(pmod(xxhash64(col(idName)), col("g")).cast("int")))
+            .otherwise(sequence(lit(0), col("g") - 1))))
+        .drop("g", "keep_l")
     val lSide =
       if (!anySalt) lEx.withColumn("__salt", lit(0))
-      else lEx.join(saltLookup, Seq("rule", "key"), "left")
-        .withColumn("__salt", when(col("g").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col(s"${idCol}_l")), col("g")).cast("int")))
-        .drop("g")
+      else salted(lEx, s"${idCol}_l", col("keep_l"))
     val rSide =
       if (!anySalt) rEx.withColumn("__salt", lit(0))
-      else rEx.join(saltLookup, Seq("rule", "key"), "left")
-        .withColumn("__salt", explode(when(col("g").isNull, array(lit(0)))
-          .otherwise(sequence(lit(0), col("g") - 1))))
-        .drop("g")
+      else salted(rEx, s"${idCol}_r", not(col("keep_l")))
 
     val joined0 = lSide.join(rSide, Seq("rule", "key", "__salt"))
     val joined =
@@ -306,17 +389,19 @@ object Blocking {
       }
 
     // attach carry columns once, post-union (one row per id on each side)
-    if (carryCols.isEmpty) allPairs.select(outCols: _*)
-    else {
-      val lCarry = lKeyed.select(
-        (col(s"${idCol}_l") +: carryCols.map(c => col(c + "_l"))): _*)
-      val rCarry = rKeyed.select(
-        (col(s"${idCol}_r") +: carryCols.map(c => col(c + "_r"))): _*)
-      allPairs
-        .join(lCarry, Seq(s"${idCol}_l"))
-        .join(rCarry, Seq(s"${idCol}_r"))
-        .select(outCols: _*)
-    }
+    val out =
+      if (carryCols.isEmpty) allPairs.select(outCols: _*)
+      else {
+        val lCarry = lKeyed.select(
+          (col(s"${idCol}_l") +: carryCols.map(c => col(c + "_l"))): _*)
+        val rCarry = rKeyed.select(
+          (col(s"${idCol}_r") +: carryCols.map(c => col(c + "_r"))): _*)
+        allPairs
+          .join(lCarry, Seq(s"${idCol}_l"))
+          .join(rCarry, Seq(s"${idCol}_r"))
+          .select(outCols: _*)
+      }
+    BlockingResult(out, statsOut)
   }
 
   /** Sorted-neighborhood pairs for rows whose rule-key is ultra-hot:

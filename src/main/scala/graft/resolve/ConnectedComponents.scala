@@ -46,9 +46,24 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // (count, order-independent hash-sum) signature; decimal sum so the
+    // aggregate cannot overflow under ANSI mode
+    def sigOf(df: DataFrame): (Long, String) = {
+      val row = df.select(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).cast("string").as("h"))
+        .head()
+      (row.getLong(0), row.getString(1))
+    }
+
     var converged = false
     var iter = 0
-    var prevSig: (Long, String) = (-1L, "")
+    // seed with the INPUT edge set's signature: a round whose output equals
+    // its input is a fixpoint — detected without an extra confirmation
+    // round (each round is two shuffles; at 12+ iterations on big graphs
+    // that is a full round saved — VERDICT r2 #7).
+    var prevSig: (Long, String) = sigOf(e)
 
     while (!converged && iter < maxIterations) {
       // Neighborhood minima via groupBy(min) + join back — never
@@ -91,14 +106,7 @@ object ConnectedComponents {
       }
       val nextP = next.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // convergence: stable (count, sum of row hashes); decimal sum so the
-      // aggregate cannot overflow under ANSI mode
-      val sigRow = nextP.select(
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).cast("string").as("h"))
-        .head()
-      val sig = (sigRow.getLong(0), sigRow.getString(1))
+      val sig = sigOf(nextP)
 
       e.unpersist()
       e = nextP

@@ -69,8 +69,15 @@ final class Checkpoints(spark: SparkSession, dir: String) {
     */
   def stage(name: String, fingerprint: String = "")(compute: => DataFrame): DataFrame = {
     val path = s"$dir/$name"
-    val reusable = isCommitted(name) &&
-      committedFingerprint(name).forall(_ == fingerprint)
+    // An ABSENT manifest is a fingerprint MISMATCH when the caller supplies
+    // one: a stage committed by an older layout (or whose manifest was
+    // deleted) is unverifiable and must be recomputed, not silently reused
+    // under any config (ADVICE r2). Legacy no-fingerprint callers still
+    // reuse manifest-less commits.
+    val reusable = isCommitted(name) && (committedFingerprint(name) match {
+      case Some(fp) => fp == fingerprint
+      case None => fingerprint.isEmpty
+    })
     if (reusable) {
       spark.read.parquet(path)
     } else {
@@ -85,6 +92,31 @@ final class Checkpoints(spark: SparkSession, dir: String) {
         s"""{"stage":"$name","rows":$rows,"partitions":$parts,"wall_ms":$ms,""" +
           s""""path":"$path","fingerprint":"$fingerprint"}""")
       committed
+    }
+  }
+
+  /** Attach a caller-supplied JSON sidecar to a stage (e.g. the blocking
+    * stage's skew-tier stats) — written as <dir>/_info_<stage>.json so run
+    * metrics survive in the checkpoint dir alongside the manifest.
+    */
+  def writeInfo(stage: String, json: String): Unit = {
+    val out = fs.create(new Path(s"$dir/_info_$stage.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readInfo(stage: String): Option[String] = {
+    val p = new Path(s"$dir/_info_$stage.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
     }
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.blocking.{Blocking, BlockingRule}
+import graft.blocking.{Blocking, BlockingRule, RuleTierStats}
 
 /** Tiered hot-block handling (north_rule "salted hot-block splitting"):
   * salted joins must preserve the EXACT pair set of the unsalted join;
@@ -73,5 +73,37 @@ class BlockingSkewSpec extends AnyFunSuite {
       Blocking.SkewConfig(maxBlockRows = 50, maxSaltFactor = 8))
     assert(pairs.count() === 120L * 80)
     assert(pairs.select("conv_id_l", "conv_id_r").distinct().count() === 120L * 80)
+  }
+
+  test("link mode: (huge x tiny) key has linear pair volume -> lossless, never SNM") {
+    // Pair-product tiering (ADVICE r2): 3000 canonical x 2 messy rows share
+    // a key. Max-side tiering would call it ultra-hot at cap=50 factor=8
+    // (3000 > 400) and window-salvage it, silently dropping nearly all true
+    // pairs; sqrt(3000*2)=78 puts it in the salted tier -> full pair set.
+    val left = (1 to 3000).map(i => (f"c$i%04d", "HOT")).toDF("conv_id", "key")
+    val right = (1 to 2).map(i => (f"m$i%03d", "HOT")).toDF("conv_id", "key")
+    val res = Blocking.candidatePairsLinkWithStats(
+      left, right, "conv_id", rule,
+      Blocking.SkewConfig(maxBlockRows = 50, maxSaltFactor = 8))
+    assert(res.pairs.count() === 3000L * 2)
+    assert(res.pairs.select("conv_id_l", "conv_id_r").distinct().count() === 3000L * 2)
+    assert(res.tierStats === Seq(RuleTierStats(0, 1, 0)))
+  }
+
+  test("tier stats count planted salted and ultra-hot keys") {
+    val salted = (1 to 500).map { i =>
+      (f"id$i%04d", if (i <= 400) "HOT" else s"solo$i")
+    }.toDF("conv_id", "key")
+    val r1 = Blocking.candidatePairsSelfWithStats(
+      salted, "conv_id", rule, Blocking.SkewConfig(maxBlockRows = 50, maxSaltFactor = 16))
+    assert(r1.tierStats === Seq(RuleTierStats(0, 1, 0)))
+
+    val ultra = (1 to 200).map(i => (f"id$i%04d", "HOT")).toDF("conv_id", "key")
+    val r2 = Blocking.candidatePairsSelfWithStats(
+      ultra, "conv_id", rule,
+      Blocking.SkewConfig(maxBlockRows = 10, maxSaltFactor = 2, snmWindow = 5))
+    assert(r2.tierStats === Seq(RuleTierStats(0, 0, 1)))
+    // salvage pairs are observable via the match_key >= #rules convention
+    assert(r2.pairs.filter(col("match_key") >= 1).count() === 5L * 200 - 15)
   }
 }

@@ -60,5 +60,13 @@ class PipelineSpec extends AnyFunSuite {
     val ck = new graft.runtime.Checkpoints(spark, dir)
     assert(Seq("signatures", "cascade", "pairs", "scored", "refined", "clusters")
       .forall(ck.isCommitted))
+    // skew observability: the first (computing) run surfaces per-rule tier
+    // stats in the Result and in the checkpoint-dir sidecar; salvage volume
+    // is countable via the match_key >= #rules convention (VERDICT r2 #3)
+    assert(r1.nBlockingRules > 0)
+    assert(r1.tierStats != null && r1.salvagePairCount >= 0)
+    assert(r1.saltedKeyCount >= 0 && r1.ultraKeyCount >= 0)
+    if (r1.tierStats.nonEmpty)
+      assert(ck.readInfo("pairs").exists(_.contains("n_salt_keys")))
   }
 }
