@@ -26,7 +26,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.allDefs.map { d =>
+    // q19 is the intentionally-quadratic exact-parity baseline whose scale
+    // path is q19b; it stays in the sf0.01 oracle gate but is skipped at
+    // bench time by default (~45-163 s of every sf0.1 run for a declared
+    // non-scale-path — VERDICT r2 #4). SPARK_GRAFT_BENCH_SKIP="" restores it.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "q19_ngram_jaccard")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val results = SparkEntry.allDefs.filterNot(d => skip(d.name)).map { d =>
       val t0 = System.nanoTime()
       val ok =
         try { d.fn(spark, sfDir).count(); true }
@@ -47,8 +53,7 @@ object Bench {
 
     var nPairs = 0L
     var nClusters = 0L
-    var scoreSec = 0.0
-    val pipeSecs = (1 to reps).map { _ =>
+    val runPairs = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       val res = Pipeline.run(spark, turns)
       nPairs = res.pairs.count()
@@ -61,21 +66,27 @@ object Bench {
       val tScore0 = System.nanoTime()
       Pipeline.scorePairs(res.signatures, res.signatures, res.pairs, 1e-6)
         .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
-      scoreSec = (System.nanoTime() - tScore0) / 1e9
+      val scoreSec = (System.nanoTime() - tScore0) / 1e9
       res.signatures.unpersist()
-      sec
-    }.sorted
-    val pipeSec = pipeSecs(pipeSecs.length / 2) // median (upper for even n)
-    val pairsPerSec = nPairs / scoreSec
+      (sec, scoreSec)
+    }
+    // median BOTH series (upper for even n) — one steal episode must not
+    // drive either headline number (VERDICT r2 #5)
+    val pipeSecs = runPairs.map(_._1).sorted
+    val scoreSecs = runPairs.map(_._2).sorted
+    val pipeSec = pipeSecs(pipeSecs.length / 2)
+    val pairsPerSec = nPairs / scoreSecs(scoreSecs.length / 2)
     turns.unpersist()
 
     val all = results.map(r => r._1 -> r._2) :+ ("er_pipeline" -> pipeSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val runsJson = pipeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val scoreRunsJson = scoreSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pipeline_runs":$runsJson,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pipeline_runs":$runsJson,"er_score_runs":$scoreRunsJson,"cpus":$cpus}""")
     spark.stop()
   }
 }

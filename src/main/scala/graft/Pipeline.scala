@@ -45,6 +45,12 @@ object Pipeline {
       maxSaltFactor: Int = 8,
       snmWindow: Int = 20,
       useSecondPass: Boolean = true,
+      /** trie-fallback cascade stage (deepest-unique token suffix) in LINK
+        * mode. Self-dedup mode ignores it: each record is its own deepest
+        * suffix match there, so the stage can only re-find exact dups that
+        * stage 1 already caught.
+        */
+      useSuffixStage: Boolean = false,
       checkpointDir: Option[String] = None)
 
   final case class Result(
@@ -256,7 +262,8 @@ object Pipeline {
     val det = staged("link_cascade") {
       ExactCascade.run(
         messySigs.select(col("conv_id"), col("sig_text"), col("block_key")),
-        canonSigs.select(col("conv_id"), col("sig_text"), col("block_key")))
+        canonSigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+        useSuffixStage = cfg.useSuffixStage)
     }
 
     // 3. blocking on the carry-forward (unmatched messy records only);

@@ -453,6 +453,52 @@ object ErQueries {
         ORDER BY b.conv_id_r ASC, b.conv_id_l ASC
         LIMIT 1 OFFSET 5
       """)
+    ),
+
+    // --- q40: deepest-unique-suffix resolution — the reference's trie
+    // fallback (resolve_with_trie.py:16-56: build_suffix_trie + find_address
+    // per postcode group) re-expressed relationally (SURVEY §2.11; see
+    // ExactCascade.resolveWithSuffixes for why a trie blob does not scale).
+    // Messy = doc_id%3==0, canonical = rest, block = lang.
+    QueryDef(
+      "q40_suffix_trie",
+      (s, dir) => {
+        val f = features(s, dir)
+        def frame(df: DataFrame) = df.select(
+          col("doc_id"), col("norm_text").as("sig_text"), col("lang").as("block_key"))
+        graft.resolve.ExactCascade.resolveWithSuffixes(
+            frame(f.filter(col("doc_id") % 3 === 0)),
+            frame(f.filter(col("doc_id") % 3 =!= 0)),
+            idCol = "doc_id")
+          .select(col("doc_id"), col("resolved_canonical_id").as("resolved_doc_id"),
+            col("depth"))
+      },
+      Some(s"""
+        WITH f AS ($duckFeatures),
+        canonf AS (SELECT doc_id, lang, string_split(norm_text, ' ') AS toks
+                   FROM f WHERE doc_id % 3 <> 0),
+        messyf AS (SELECT doc_id, lang, string_split(norm_text, ' ') AS toks
+                   FROM f WHERE doc_id % 3 = 0),
+        cs0 AS (SELECT lang, doc_id, toks,
+                       unnest(range(1, least(len(toks), 12) + 1)) AS k
+                FROM canonf WHERE len(toks) > 0),
+        ca AS (SELECT lang, k,
+                      array_to_string(toks[len(toks)-k+1:], ' ') AS suffix,
+                      count(DISTINCT doc_id) AS n_cand, min(doc_id) AS cand_id
+               FROM cs0 GROUP BY 1, 2, 3),
+        ms0 AS (SELECT lang, doc_id, toks,
+                       unnest(range(1, least(len(toks), 12) + 1)) AS k
+                FROM messyf WHERE len(toks) > 0),
+        ms AS (SELECT lang, doc_id, k,
+                      array_to_string(toks[len(toks)-k+1:], ' ') AS suffix
+               FROM ms0),
+        j AS (SELECT m.doc_id, m.k, a.n_cand, a.cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.k DESC) AS rn
+              FROM ms m JOIN ca a
+                ON m.lang = a.lang AND m.k = a.k AND m.suffix = a.suffix)
+        SELECT doc_id, cand_id AS resolved_doc_id, CAST(k AS BIGINT) AS depth
+        FROM j WHERE rn = 1 AND n_cand = 1 AND k >= 2
+      """)
     )
   )
 }

@@ -15,17 +15,75 @@ import graft.functions.GraftFunctions._
   *      row_number()=1 dedupe-then-join, annotate_exact_matches.py:31-58);
   *   2. unique_shingle: a char-5-gram of the messy text that maps to
   *      exactly one canonical record within the block key (reference
-  *      trigram stage, resolve_with_trigrams.py:54-157).
+  *      trigram stage, resolve_with_trigrams.py:54-157);
+  *   3. (optional) suffix_trie: deepest-unique token-suffix resolution —
+  *      the reference's trie fallback (resolve_with_trie.py:16-56, whose
+  *      build_suffix_trie/find_address UDFs are external stubs even there)
+  *      re-expressed RELATIONALLY: instead of materialising a per-group
+  *      trie blob (a single-node data structure that must fit one
+  *      executor and dies exactly at the scale it matters), every token
+  *      suffix up to `maxDepth` becomes a join key; the trie walk "descend
+  *      as deep as possible, succeed iff the subtree holds exactly one id"
+  *      is a max-k window over the suffix join with an n_cand = 1 gate.
+  *      Same semantics, but distributed, AQE-planned and skew-handled like
+  *      every other join in the engine.
   *
   * Between stages, unmatched rows carry forward via left_anti
   * (matching_stages.py:173-183); results accumulate via unionByName.
   */
 object ExactCascade {
 
+  /** Deepest-unique token-suffix resolution (the trie fallback, stage 3 —
+    * see object doc). For each messy record, find the LARGEST k such that
+    * its last-k-token suffix matches >= 1 canonical record in the same
+    * block; the record resolves iff that deepest suffix identifies exactly
+    * one canonical id and k >= `minDepth` (a 1-token suffix is a generic
+    * sign-off in transcripts, not evidence). Suffixes are capped at
+    * `maxDepth` tokens so the exploded key volume is O(rows * maxDepth).
+    *
+    * @return (id, resolved_canonical_id, depth, match_reason='suffix_trie')
+    */
+  def resolveWithSuffixes(
+      messy: DataFrame,
+      canonical: DataFrame,
+      idCol: String = "conv_id",
+      minDepth: Int = 2,
+      maxDepth: Int = 12): DataFrame = {
+    def suffixKeys(df: DataFrame, outId: String): DataFrame = {
+      val toks = split(col("sig_text"), " ")
+      df.select(col(idCol).as(outId), col("block_key"), toks.as("__toks"))
+        .withColumn("k", explode(
+          when(size(col("__toks")) > 0,
+            sequence(lit(1), least(size(col("__toks")), lit(maxDepth))))
+            .otherwise(array().cast("array<int>"))))
+        .select(col(outId), col("block_key"), col("k"),
+          array_join(slice(col("__toks"), -col("k"), col("k")), " ").as("suffix"))
+    }
+    // canonical: per (block, depth, suffix) candidate count + witness.
+    // Rows with n_cand > 1 are KEPT — a deepest match that is ambiguous
+    // must fail, not fall back to a shallower unique one (find_address
+    // returns NULL when the walk ends on a multi-id subtree).
+    val canonAgg = suffixKeys(canonical, "cand_id")
+      .groupBy(col("block_key"), col("k"), col("suffix"))
+      .agg(countDistinct(col("cand_id")).as("n_cand"), min(col("cand_id")).as("cand_id"))
+    val deepest = suffixKeys(messy, idCol)
+      .join(canonAgg, Seq("block_key", "k", "suffix"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("k").desc)))
+      .filter(col("__rn") === 1 && col("n_cand") === 1 && col("k") >= minDepth)
+    deepest.select(col(idCol), col("cand_id").as("resolved_canonical_id"),
+      col("k").cast("long").as("depth"), lit("suffix_trie").as("match_reason"))
+  }
+
   /** Link messy -> canonical. Both frames need (id, sig_text, block_key).
     * Returns (id, resolved_canonical_id, match_reason) for matched rows.
     */
-  def run(messy: DataFrame, canonical: DataFrame, idCol: String = "conv_id"): DataFrame = {
+  def run(
+      messy: DataFrame,
+      canonical: DataFrame,
+      idCol: String = "conv_id",
+      useSuffixStage: Boolean = false): DataFrame = {
     // Stage 1: exact match on (sig_text, block_key), dedup canonical first.
     val canonDedup = canonical
       .withColumn("__rn", row_number().over(
@@ -75,7 +133,17 @@ object ExactCascade {
       .select(col(idCol), col("resolved_canonical_id"),
         lit("unique_shingle").as("match_reason"))
 
-    exact.unionByName(shingleMatch)
+    val stage12 = exact.unionByName(shingleMatch)
+    if (!useSuffixStage) stage12
+    else {
+      // Stage 3: trie fallback on rows stages 1-2 left unmatched.
+      val remaining2 = messy.join(stage12.select(idCol), Seq(idCol), "left_anti")
+      val canonFiltered2 = canonical.join(
+        remaining2.select(col("block_key")).distinct(), Seq("block_key"), "left_semi")
+      val trieMatch = resolveWithSuffixes(remaining2, canonFiltered2, idCol)
+        .select(col(idCol), col("resolved_canonical_id"), col("match_reason"))
+      stage12.unionByName(trieMatch)
+    }
   }
 
   /** Annotate the full messy table with cascade results (unmatched rows get

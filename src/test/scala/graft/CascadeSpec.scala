@@ -43,4 +43,42 @@ class CascadeSpec extends AnyFunSuite {
     assert(ann.count() === messy.count())
     assert(ann.filter(col("conv_id") === "m4" && col("match_reason").isNull).count() === 1)
   }
+
+  test("suffix stage: deepest-unique suffix resolves; ambiguous or shallow do not") {
+    val canon = Seq(
+      ("c1", "PLEASE RESTART THE PAYMENT SERVICE ON NODE SEVEN", "B1"),
+      ("c2", "KINDLY RESTART THE BILLING SERVICE ON NODE SEVEN", "B1"),
+      ("c3", "SHUT DOWN EVERYTHING THANKS GOODBYE", "B1"),
+      ("c4", "POWER OFF EVERYTHING THANKS GOODBYE", "B1"),
+      ("c5", "REBOOT THE MAINFRAME KERNEL", "B1")
+    ).toDF("conv_id", "sig_text", "block_key")
+    val fuzzy = Seq(
+      // head differs; deepest common suffix (7 tokens, "RESTART THE
+      // PAYMENT SERVICE ON NODE SEVEN") is unique to c1
+      ("f1", "COULD YOU RESTART THE PAYMENT SERVICE ON NODE SEVEN", "B1"),
+      // deepest matching suffix "EVERYTHING THANKS GOODBYE" (k=3) is
+      // shared by c3 AND c4; k=4 matches nothing -> the walk ends on an
+      // ambiguous subtree and must NOT fall back to a shallower unique one
+      ("f2", "DISABLE EVERYTHING THANKS GOODBYE", "B1"),
+      // deepest match is the 1-token suffix "KERNEL" (unique to c5) ->
+      // below minDepth=2, rejected
+      ("f3", "UNRELATED WORDS KERNEL", "B1")
+    ).toDF("conv_id", "sig_text", "block_key")
+
+    val got = ExactCascade.resolveWithSuffixes(fuzzy, canon)
+      .select("conv_id", "resolved_canonical_id", "depth")
+      .as[(String, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.get("f1").map(_._1) === Some("c1"))
+    assert(got("f1")._2 === 7L)
+    assert(!got.contains("f2"), s"ambiguous deepest suffix must not match: $got")
+    assert(!got.contains("f3"), s"minDepth gate must reject 1-token suffixes: $got")
+
+    // wired as cascade stage 3: stages 1-2 miss f1 (no exact text, no
+    // unique 5-gram hit at minHits=3 in this tiny corpus is possible — so
+    // assert only that the composed run with the stage ON resolves f1)
+    val composed = ExactCascade.run(fuzzy, canon, useSuffixStage = true)
+      .as[(String, String, String)].collect().toSet
+    assert(composed.exists(t => t._1 == "f1" && t._2 == "c1"))
+  }
 }

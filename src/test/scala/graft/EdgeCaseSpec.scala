@@ -86,7 +86,82 @@ class EdgeCaseSpec extends AnyFunSuite {
         Seq("user" -> "export the q3 report as csv RPT-7120",
           "assistant" -> "export complete"),
         Seq("user" -> "export the q4 report as pdf RPT-9999",
-          "assistant" -> "export complete")))
+          "assistant" -> "export complete"))),
+
+    // ---- adversarial blocks added round 3 (VERDICT r2 #6): the decoy is
+    // crafted to defeat a naive similarity, so the distinguishing feature
+    // (tail tokens, tool output, rare token, role order) must carry.
+
+    ("shared_prefix_different_tail",
+      Seq("user" -> "start incident review for outage INC-2211",
+        "assistant" -> "gathering logs from the gateway nodes now",
+        "user" -> "root cause was the expired signing token"),
+      Seq(
+        Seq("user" -> "start incident review for outage INC-2211",
+          "assistant" -> "gathering logs from the gateway nodes now",
+          "user" -> "root cause was the expired signing token yes"),
+        Seq("user" -> "start incident review for outage INC-2211",
+          "assistant" -> "gathering logs from the gateway nodes now",
+          "user" -> "root cause was a failed disk in rack nine"))),
+
+    ("tool_output_only_diff",
+      Seq("user" -> "look up order ORD-5010 status",
+        "tool" -> "status shipped tracking TRK-7719",
+        "assistant" -> "your order has shipped"),
+      Seq(
+        Seq("user" -> "look up order ORD-5010 status",
+          "tool" -> "status shipped tracking TRK-7719",
+          "assistant" -> "your order has shipped okay"),
+        Seq("user" -> "look up order ORD-5010 status",
+          "tool" -> "status cancelled refund REF-2230 issued",
+          "assistant" -> "your order was cancelled"))),
+
+    ("role_swap_tiebreak",
+      Seq("user" -> "the deploy failed with exit code 137",
+        "assistant" -> "that is an out of memory kill"),
+      Seq(
+        Seq("user" -> "the deploy failed with exit code 137",
+          "assistant" -> "that is an out of memory kill"),
+        Seq("assistant" -> "the deploy failed with exit code 137",
+          "user" -> "that is an out of memory kill"))),
+
+    ("one_distinguishing_token",
+      Seq("user" -> "rotate the api key for service svc-payments in region eu-west",
+        "assistant" -> "key rotated and old key revoked"),
+      Seq(
+        Seq("user" -> "rotate the api key please for service svc-payments in region eu-west",
+          "assistant" -> "key rotated and old key revoked"),
+        Seq("user" -> "rotate the api key for service svc-ledger in region eu-west",
+          "assistant" -> "key rotated and old key revoked"))),
+
+    ("id_format_variant",
+      Seq("user" -> "escalate ticket TCK 4412 to tier two support",
+        "assistant" -> "escalated to tier two"),
+      Seq(
+        Seq("user" -> "escalate ticket TCK-4412 to tier two support",
+          "assistant" -> "escalated to tier two"),
+        Seq("user" -> "escalate ticket TCK-9983 to tier two support",
+          "assistant" -> "escalated to tier two"))),
+
+    ("repeated_turn_padding",
+      Seq("user" -> "cancel subscription SUB-6632 effective today",
+        "assistant" -> "subscription cancelled confirmation sent"),
+      Seq(
+        Seq("user" -> "cancel subscription SUB-6632 effective today",
+          "assistant" -> "one moment",
+          "assistant" -> "one moment",
+          "assistant" -> "subscription cancelled confirmation sent"),
+        Seq("user" -> "pause subscription SUB-1144 effective friday",
+          "assistant" -> "subscription paused confirmation sent"))),
+
+    ("case_only_difference",
+      Seq("user" -> "ENABLE TWO FACTOR AUTH FOR USER UID-3307",
+        "assistant" -> "TWO FACTOR ENABLED"),
+      Seq(
+        Seq("user" -> "enable two factor auth for user uid-3307",
+          "assistant" -> "two factor enabled"),
+        Seq("user" -> "enable two factor auth for user uid-8804",
+          "assistant" -> "two factor enabled")))
   )
 
   test("best match picks the true candidate on every edge case") {
@@ -126,13 +201,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     val best = Evaluate.bestMatches(refined)
       .select("conv_id_r", "conv_id_l", "match_weight", "distinguishability")
       .as[(String, String, Double, Option[Double])].collect()
-      .map(r => r._1 -> r._2).toMap
+      .map(r => r._1 -> ((r._2, r._4))).toMap
 
     val failures = cases.zipWithIndex.flatMap { case ((name, _, _), i) =>
-      val got = best.get(f"m$i%03d")
+      val got = best.get(f"m$i%03d").map(_._1)
       val want = f"c$i%03d_0"
       if (got.contains(want)) None else Some(s"$name: got $got want $want")
     }
+    // reference gate shape (tests/test_edge_cases.py:266-277): a corpus
+    // match-RATE floor plus a reward-margin check, not just per-case truth
+    val matchRate = (cases.length - failures.length).toDouble / cases.length
+    assert(matchRate >= 0.9, s"edge-case match rate $matchRate; $failures")
     assert(failures.isEmpty, failures.mkString("; "))
+
+    // reward margin: the winning candidate must beat the decoy by a
+    // positive weight margin in every multi-candidate case (margin == the
+    // winner's distinguishability); ties (role_swap sig-identical decoy)
+    // count as zero and are allowed only for that planted case
+    val margins = cases.zipWithIndex.flatMap { case ((name, _, cands), i) =>
+      if (cands.length < 2) None
+      else best.get(f"m$i%03d").flatMap(_._2).map(d => (name, d))
+    }
+    val nonPositive = margins.filter { case (name, d) =>
+      d <= 0 && name != "role_swap_tiebreak"
+    }
+    assert(nonPositive.isEmpty, s"non-positive reward margins: $nonPositive")
+    val meanMargin = margins.map(_._2).sum / margins.length.max(1)
+    info(f"edge-case mean reward margin = $meanMargin%.2f over ${margins.length} cases")
+    assert(meanMargin > 0)
   }
 }

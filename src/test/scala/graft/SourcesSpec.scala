@@ -40,4 +40,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy("conv_id", "turn_idx").collect().toSeq ===
       df.orderBy("conv_id", "turn_idx").collect().toSeq)
   }
+
+  test("checkpoints + parquet round-trip through a non-file: Hadoop FS scheme (s3a-shaped)") {
+    // The real S3 endpoint is unreachable in this zero-egress sandbox, so
+    // bind a custom `mocks3:` scheme to a local-disk FileSystem impl: every
+    // Checkpoints/Spark IO call goes through the SAME Hadoop FileSystem API
+    // dispatch an s3a:// URI would take — executable evidence that the
+    // checkpoint/scan surface is object-store-transparent (SURVEY §2.1).
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_mocks3").toString
+    val dir = s"mocks3:$local"
+
+    val ck = new graft.runtime.Checkpoints(spark, dir)
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "score")
+    val out = ck.stage("s3stage", "fp1")(df)
+    assert(out.count() === rows.length)
+    assert(ck.isCommitted("s3stage"))
+    assert(ck.committedFingerprint("s3stage").contains("fp1"))
+
+    // resume: same fingerprint reads the committed parquet, no recompute
+    var recomputed = false
+    val again = ck.stage("s3stage", "fp1") { recomputed = true; df }
+    assert(again.count() === rows.length && !recomputed)
+    // config change through the same non-file: scheme invalidates
+    val changed = ck.stage("s3stage", "fp2") { recomputed = true; df }
+    assert(changed.count() === rows.length && recomputed)
+  }
+}
+
+/** RawLocalFileSystem bound to the `mocks3:` scheme — local disk behind a
+  * non-`file:` URI so specs can exercise the object-store code path.
+  */
+class MockS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
 }
