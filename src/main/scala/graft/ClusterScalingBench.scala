@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One pipeline run under whatever --master spark-submit supplies — built
+  * for `local-cluster[N, cores, mem]`, Spark's real-multi-executor local
+  * mode (separate executor JVMs, netty shuffle), which is the closest this
+  * sandbox gets to the BASELINE.json criterion "N and 4N EXECUTORS":
+  * thread-scaling inside one JVM (graft.ScalingBench) under-states true
+  * cluster scaling because all threads share one heap, allocator and GC.
+  *
+  * Usage (interleave pairs in a driving script, >= 3 per config):
+  *   SPARK_HOME=/opt/spark spark-submit \
+  *     --master 'local-cluster[2,4,8192]' \
+  *     --class graft.ClusterScalingBench <graft.jar> 250000
+  *   ... then the same with --master 'local-cluster[8,4,8192]'.
+  *
+  * Emits one JSON line with wall seconds, executor-CPU seconds, total
+  * cores, turns and candidate pairs. Shuffle partitions follow the same
+  * rule at every size: 2 x total cores (AQE coalesces back down).
+  */
+object ClusterScalingBench {
+
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nConvIds = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .appName("graft-cluster-scaling")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      // wait for the FULL cluster before scheduling: standalone defaults to
+      // scheduling on the first registered executor, so the cached input
+      // lands lopsided on the early JVMs and locality pins every downstream
+      // stage there — measured 11.5/32 busy cores at 4N before this
+      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+      // benchmark boxes have uniform storage: waiting 3 s per task batch
+      // for locality only serialises small stages
+      .config("spark.locality.wait", "0s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // total cores from the master URL, NOT defaultParallelism: the latter
+    // reads the core count of executors registered SO FAR, which at session
+    // startup is 0-2 and would cripple shuffle fan-out for the whole run
+    val master = spark.sparkContext.master
+    val cores = "local-cluster\\[(\\d+),\\s*(\\d+)".r.findFirstMatchIn(master)
+      .map(m => m.group(1).toInt * m.group(2).toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", (cores * 2).toString)
+    val cpu = new CpuListener
+    spark.sparkContext.addSparkListener(cpu)
+
+    val turns = graft.ingest.TranscriptGen.turnsDF(spark, nConvIds)
+      .repartition(cores).cache()
+    val nTurns = turns.count()
+    val cpu0 = cpu.cpuNs.get() // exclude input generation
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, turns)
+    val nPairs = res.pairs.count()
+    res.refined.count()
+    res.clusters.select("cluster_id").distinct().count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpuSec = (cpu.cpuNs.get() - cpu0) / 1e9
+
+    // BASELINE.json's scaled throughput IS candidate-pairs-scored/sec: time
+    // the isolated scoring surface (feature-attach joins + codegen'd
+    // Fellegi-Sunter projection over the materialised pairs — the compute-
+    // bound kernel that dominates at the 10^12-turn target). 2 reps, best
+    // kept (first rep includes per-JVM codegen compilation).
+    val scoreSecs = (1 to 2).map { _ =>
+      val s0 = System.nanoTime()
+      Pipeline.scorePairs(res.signatures, res.signatures, res.pairs, 1e-6)
+        .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
+      (System.nanoTime() - s0) / 1e9
+    }
+    val scoreSec = scoreSecs.min
+
+    // Pure scoring KERNEL: features pre-attached and cached, so the timed
+    // job is the codegen'd Fellegi-Sunter projection alone — zero shuffle,
+    // embarrassingly parallel. Separating it from the attach-join variant
+    // above attributes any composed-job scaling shortfall to shuffle at
+    // test scale rather than to the scoring operator.
+    val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
+      .repartition(cores * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fat.count()
+    val pureSecs = (1 to 2).map { _ =>
+      val s0 = System.nanoTime()
+      graft.score.Scoring.scoreDefault(fat, 1e-6)
+        .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
+      (System.nanoTime() - s0) / 1e9
+    }
+    val pureSec = pureSecs.min
+    fat.unpersist()
+    println(
+      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${nPairs / pureSec}%.1f}""")
+    spark.stop()
+  }
+}

@@ -41,7 +41,11 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // same RULE at both parallelism levels: 2x cores initial shuffle
+      // partitions (standard task-granularity practice — >1 wave absorbs
+      // stragglers); AQE coalesces small partitions back down, so this is
+      // an upper bound, not a fixed fan-out
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

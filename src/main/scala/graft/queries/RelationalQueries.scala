@@ -302,6 +302,45 @@ object RelationalQueries {
                     // (2 * count(avg_chars_e4)) AS BIGINT) AS avg_of_avg_e4
         FROM base GROUP BY GROUPING SETS ((lang), (source), ())
       """)
+    ),
+
+    // --- q41: GLOBAL-ORDER row_number WITHOUT a single-partition window —
+    // the scale-safe form of the reference's global-sort surrogate-id
+    // window (SURVEY §2.5 flags `ROW_NUMBER() OVER (ORDER BY ...)` as THE
+    // scale hazard: Spark's WindowExec with no PARTITION BY moves every row
+    // to one partition). Pattern: range-repartition on the sort key (total
+    // order across partitions), rank within each partition, then add
+    // per-partition offsets (prefix sums of partition counts — driver-side
+    // state bounded by the PARTITION COUNT, not the row count). Output is
+    // invariant to the sampled range bounds.
+    QueryDef(
+      "q41_global_rownum",
+      (s, dir) => {
+        val d = load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // eager localCheckpoint pins ONE materialised partition assignment:
+        // the counts pass and the ranking pass must see identical ranges
+        val pinned = d.repartitionByRange(8, col("n_chars").desc, col("doc_id").asc)
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+        val counts = pinned.groupBy(col("__pid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+        import s.implicits._
+        val offsetDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+        val w = Window.partitionBy(col("__pid"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        pinned.withColumn("__rn", row_number().over(w))
+          .join(offsetDf, Seq("__pid"))
+          .select(col("doc_id"), col("n_chars"),
+            (col("__rn") + col("__offset")).cast("long").as("global_rank"))
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                 AS global_rank
+        FROM documents
+      """)
     )
   )
 }

@@ -93,6 +93,19 @@ class LinkPipelineSpec extends AnyFunSuite {
     assert(rows.head === ("c_a", "exact_match"))
   }
 
+  test("runLink with suffix stage enabled keeps deterministic-stage precedence") {
+    val canonical = turnsOf("c_a", convA) ++ turnsOf("c_b", convB)
+    val messy = turnsOf("m_dup", convA)
+    val res = Pipeline.runLink(spark,
+      messy.toDF("conv_id", "turn_idx", "role", "text"),
+      canonical.toDF("conv_id", "turn_idx", "role", "text"),
+      Pipeline.Config(useSuffixStage = true))
+    val rows = res.merged.filter(col("conv_id_r") === "m_dup")
+      .select("conv_id_l", "match_reason").as[(String, String)].collect()
+    assert(rows.length === 1)
+    assert(rows.head === ("c_a", "exact_match"))
+  }
+
   test("runLink rejects malformed input with aggregated schema errors") {
     val bad = Seq(("x", "oops")).toDF("conv_id", "text") // no turn_idx/role
     val canonical = turnsOf("c_a", convA).toDF("conv_id", "turn_idx", "role", "text")
