@@ -29,11 +29,25 @@ object ConnectedComponents {
     *         minimum node id. Nodes absent from `edges` are not returned —
     *         union singletons in the caller.
     */
+  /** Edge sets at or below this size are finished EXACTLY on the driver
+    * with union-find instead of iterating: each large/small-star round is
+    * four shuffles plus a materialisation barrier, and on a small edge set
+    * (the common case after blocking thresholds, and the tail of any
+    * convergence) 3-5 such rounds cost tens of seconds of pure stage
+    * latency for milliseconds of actual work. Same output by construction
+    * (components are unique; root = min id). The distributed path is
+    * untouched above the threshold — this is the AQE-style "smallness"
+    * adaptation, decided from the count the convergence signature already
+    * computes.
+    */
+  val DriverFinishMaxEdges = 1000000L
+
   def run(
       spark: SparkSession,
       edges: DataFrame,
       maxIterations: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
     val srcCol = edges.columns(0)
     val dstCol = edges.columns(1)
 
@@ -64,6 +78,12 @@ object ConnectedComponents {
     // round (each round is two shuffles; at 12+ iterations on big graphs
     // that is a full round saved — VERDICT r2 #7).
     var prevSig: (Long, String) = sigOf(e)
+
+    if (prevSig._1 <= driverFinishMaxEdges) {
+      val assign = driverUnionFind(spark, e)
+      e.unpersist()
+      return assign
+    }
 
     while (!converged && iter < maxIterations) {
       // Neighborhood minima via groupBy(min) + join back — never
@@ -132,14 +152,56 @@ object ConnectedComponents {
     assign
   }
 
+  /** Exact driver-side finish for small edge sets: union-find with
+    * min-id roots — identical output to the large/small-star fixpoint
+    * (every node maps to its component's minimum id), in one collect
+    * instead of 3-5 four-shuffle rounds. Comparison uses the id column's
+    * native ordering so numeric ids behave exactly like the distributed
+    * least()/min() path.
+    */
+  private def driverUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val dt = e.schema(0).dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case _ => (a, b) => String.valueOf(a) < String.valueOf(b)
+    }
+    val rows = e.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val ra = find(row.get(0)); val rb = find(row.get(1))
+      // merging keeps the smaller root, so each component's final root is
+      // its minimum id — the distributed path's cluster_id
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { row => nodes += row.get(0); nodes += row.get(1) }
+    val out = nodes.toSeq.map(n => Row(n, find(n)))
+    val schema = StructType(Seq(StructField("conv_id", dt), StructField("cluster_id", dt)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, math.max(1, out.size / 500000)), schema)
+  }
+
   /** Cluster assignment for all nodes: edge components + singletons. */
   def assignAll(
       spark: SparkSession,
       allIds: DataFrame, // single column conv_id
       edges: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
     val idName = allIds.columns(0)
-    val comp = run(spark, edges, checkpointDir = checkpointDir)
+    val comp = run(spark, edges, checkpointDir = checkpointDir,
+      driverFinishMaxEdges = driverFinishMaxEdges)
     allIds.select(col(idName).as("conv_id"))
       .join(comp, Seq("conv_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("conv_id")))

@@ -28,13 +28,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   private def check(nodes: Seq[String], edges: Seq[(String, String)]): Unit = {
-    val got = ConnectedComponents.assignAll(
-      spark,
-      nodes.toDF("conv_id"),
-      edges.toDF("src", "dst"))
-      .as[(String, String)].collect().toMap
     val want = unionFind(nodes, edges)
-    assert(got === want)
+    // BOTH execution paths must agree with the oracle: the adaptive
+    // driver-side union-find finish (default — these graphs are small)
+    // and the distributed large/small-star fixpoint (forced by a zero
+    // driver-finish threshold).
+    val gotDriver = ConnectedComponents.assignAll(
+      spark, nodes.toDF("conv_id"), edges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(gotDriver === want)
+    val gotDistributed = ConnectedComponents.assignAll(
+      spark, nodes.toDF("conv_id"), edges.toDF("src", "dst"),
+      driverFinishMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(gotDistributed === want)
   }
 
   test("simple chain, triangle, singletons") {
