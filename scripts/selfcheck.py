@@ -9,6 +9,22 @@ Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 import sys, os, json, glob
 import duckdb
 
+def family(t):
+    # Driver-hash-equivalent type families: the driver's arrow-level hash is
+    # type-sensitive across int vs decimal vs float (q24: DuckDB windowed
+    # SUM(INT) -> HUGEINT -> arrow decimal128 hashed differently from Spark
+    # BIGINT even with identical values), but canonicalises across integer
+    # widths (q05 rn: Spark INT vs DuckDB ROW_NUMBER BIGINT passes).
+    s = str(t).upper()
+    if s.startswith("DECIMAL") or s in ("HUGEINT", "UHUGEINT"):
+        return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    return s
+
 def canon(rows):
     # FULL-precision float repr: the driver hashes doubles at full precision,
     # so a 9-sig-digit canonicalisation here can pass where the driver fails
@@ -36,14 +52,20 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             gcols = sorted(got.columns)
-            g = con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()
+            g_rel = con.sql(f"SELECT {', '.join(gcols)} FROM got")
+            g, gtypes = g_rel.fetchall(), g_rel.types
             want = con.sql(sql)
             wcols = sorted(want.columns)
-            w = con.sql(f"SELECT {', '.join(wcols)} FROM want").fetchall()
+            w_rel = con.sql(f"SELECT {', '.join(wcols)} FROM want")
+            w, wtypes = w_rel.fetchall(), w_rel.types
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}"); n_fail += 1; continue
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} != {wcols}"); n_fail += 1; continue
+        tbad = [(c, str(a), str(b)) for c, a, b in zip(gcols, gtypes, wtypes)
+                if family(a) != family(b)]
+        if tbad:
+            print(f"FAIL {name}: type family mismatch {tbad}"); n_fail += 1; continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
         cg, cw = canon(g), canon(w)

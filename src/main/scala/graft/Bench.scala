@@ -7,11 +7,41 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line (driver contract).
   *
   * A query that throws is recorded with time -1 and listed under "failed"
-  * (never silently reported as a normal-looking timing). The ER pipeline
-  * runs SPARK_GRAFT_BENCH_REPS times (median reported, all runs listed) —
-  * wall-clock on this host varies with CPU steal, so one sample is noise.
+  * (never silently reported as a normal-looking timing).
+  *
+  * STEAL DETECTION (VERDICT r3 #3): this host's wall-clock varies up to 5x
+  * under CPU steal, so each ER-pipeline rep is bracketed by a fixed
+  * single-threaded CPU-bound calibration probe. A rep whose worst probe
+  * deviates more than `ProbeTolerance`x from the best probe observed is
+  * marked steal-contaminated; contaminated reps are replaced by extra
+  * attempts (up to 3x the target count), and the headline median is taken
+  * over CLEAN reps only. All probes/runs are reported in the JSON so the
+  * filtering is auditable, and the min rep is reported alongside.
   */
 object Bench {
+
+  /** Fixed CPU-bound xorshift workload; ~100 ms on a quiet core. Probe time
+    * inflates roughly linearly with steal on the probing thread.
+    */
+  @volatile private var sink = 0L
+  def probeMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 80000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    sink = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  val ProbeTolerance = 1.5
+
+  private def medianUpper(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +55,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The bench tail has shown a cosmetic DAGScheduler ERROR stack in every
+    // round's driver log ("failed to update accumulator" — a task result
+    // arriving after the ContextCleaner GC'd the metrics accumulator of an
+    // already-unpersisted/localCheckpointed stage; job results are
+    // unaffected and "failed" stays []). Quiet that logger so the driver
+    // tail is clean JSON (VERDICT r3 #8) — real per-query failures are
+    // detected and reported by the bench itself, not scraped from logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
 
     // q19 is the intentionally-quadratic exact-parity baseline whose scale
     // path is q19b; it stays in the sf0.01 oracle gate but is skipped at
@@ -32,6 +71,11 @@ object Bench {
     // non-scale-path — VERDICT r2 #4). SPARK_GRAFT_BENCH_SKIP="" restores it.
     val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "q19_ngram_jaccard")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (skip.nonEmpty)
+      // cross-round comparability guard (ADVICE r3): totals exclude these
+      System.err.println(
+        s"[bench] WARNING: skipping ${skip.toSeq.sorted.mkString(", ")} — " +
+          s""""total" is NOT comparable with rounds that ran them (see "skipped")""")
     val results = SparkEntry.allDefs.filterNot(d => skip(d.name)).map { d =>
       val t0 = System.nanoTime()
       val ok =
@@ -47,13 +91,20 @@ object Bench {
     // ~30k conversation slots -> ~23k conversations, ~150k turns.
     val nConvIds = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val maxAttempts = reps * 3
     val turns = graft.ingest.TranscriptGen.turnsDF(spark, nConvIds)
       .repartition(cpus.toInt).cache()
     val nTurns = turns.count()
 
     var nPairs = 0L
     var nClusters = 0L
-    val runPairs = (1 to reps).map { _ =>
+    // (worstProbeMs, pipelineSec, scoreSec) per attempt
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    var attempt = 0
+    def minProbe: Double = samples.map(_._1).min
+    def cleanCount: Int = samples.count(_._1 <= ProbeTolerance * minProbe)
+    while (attempt < maxAttempts && (attempt < reps || cleanCount < reps)) {
+      val pBefore = probeMs()
       val t0 = System.nanoTime()
       val res = Pipeline.run(spark, turns)
       nPairs = res.pairs.count()
@@ -68,25 +119,31 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
       val scoreSec = (System.nanoTime() - tScore0) / 1e9
       res.signatures.unpersist()
-      (sec, scoreSec)
+      val pAfter = probeMs()
+      samples += ((math.max(pBefore, pAfter), sec, scoreSec))
+      attempt += 1
     }
-    // median BOTH series (upper for even n) — one steal episode must not
-    // drive either headline number (VERDICT r2 #5)
-    val pipeSecs = runPairs.map(_._1).sorted
-    val scoreSecs = runPairs.map(_._2).sorted
-    val pipeSec = pipeSecs(pipeSecs.length / 2)
-    val pairsPerSec = nPairs / scoreSecs(scoreSecs.length / 2)
     turns.unpersist()
+
+    val clean0 = samples.filter(_._1 <= ProbeTolerance * minProbe)
+    val clean = if (clean0.nonEmpty) clean0.toSeq else samples.toSeq
+    val pipeSec = medianUpper(clean.map(_._2))
+    val pipeMin = samples.map(_._2).min
+    val scoreSecMedianClean = medianUpper(clean.map(_._3))
+    val scoreSecMin = samples.map(_._3).min
+    val pairsPerSec = nPairs / scoreSecMedianClean
+    val pairsPerSecBest = nPairs / scoreSecMin
 
     val all = results.map(r => r._1 -> r._2) :+ ("er_pipeline" -> pipeSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val runsJson = pipeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    val scoreRunsJson = scoreSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val runsJson = samples.map(s => f"${s._2}%.3f").mkString("[", ",", "]")
+    val scoreRunsJson = samples.map(s => f"${s._3}%.3f").mkString("[", ",", "]")
+    val probesJson = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pipeline_runs":$runsJson,"er_score_runs":$scoreRunsJson,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pairs_scored_per_sec_best":$pairsPerSecBest%.1f,"er_pipeline_runs":$runsJson,"er_pipeline_min":$pipeMin%.3f,"er_score_runs":$scoreRunsJson,"probe_ms":$probesJson,"reps_attempted":$attempt,"reps_clean":${clean0.size},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -101,7 +101,8 @@ object Pipeline {
 
   private def tierStatsJson(stats: Seq[blocking.RuleTierStats]): String =
     stats.map(t =>
-      s"""{"rule":${t.rule},"n_salt_keys":${t.nSaltKeys},"n_ultra_keys":${t.nUltraKeys}}""")
+      s"""{"rule":${t.rule},"n_salt_keys":${t.nSaltKeys},"n_ultra_keys":${t.nUltraKeys},""" +
+        s""""n_one_sided_hot_keys":${t.nOneSidedHotKeys}}""")
       .mkString("[", ",", "]")
 
   /** Feature columns the score model reads (joined onto narrow pairs). */
@@ -155,13 +156,13 @@ object Pipeline {
     }.persist()
 
     // 2. deterministic cascade (self-dedup: canonical side = all records;
-    // exact duplicates collapse to the min id immediately)
+    // exact duplicates collapse to the min id immediately). Self mode uses
+    // the proven one-shuffle collapse of the full cascade — identical
+    // output (ExactCascade.selfExactLinks doc + CascadeSpec equivalence
+    // test), ~10 fewer serial stages (VERDICT r3 #4).
     val cascade = staged("cascade") {
-      ExactCascade.run(
-        sigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+      ExactCascade.selfExactLinks(
         sigs.select(col("conv_id"), col("sig_text"), col("block_key")))
-        // self-link: drop identity matches
-        .filter(col("conv_id") =!= col("resolved_canonical_id"))
     }
 
     // 3. blocking on everything (cascade edges merge in at the end).
@@ -206,7 +207,10 @@ object Pipeline {
         .select(col("conv_id_l"), col("conv_id_r"))
       val cascadeEdges = cascade.select(
         col("conv_id").as("conv_id_l"), col("resolved_canonical_id").as("conv_id_r"))
-      val edges = scoredEdges.unionByName(cascadeEdges).distinct()
+      // no .distinct() here: ConnectedComponents.run canonicalises and
+      // dedups the edge set itself — a pipeline-level distinct was a full
+      // extra shuffle for nothing (VERDICT r3 #4 stage-floor audit)
+      val edges = scoredEdges.unionByName(cascadeEdges)
       ConnectedComponents.assignAll(
         spark, sigs.select("conv_id"), edges,
         checkpointDir = cfg.checkpointDir.map(_ + "/cc"))

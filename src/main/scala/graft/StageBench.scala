@@ -22,10 +22,24 @@ object StageBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Spark-stage counter: the composed pipeline's scaling shortfall at toy
+    // sizes is a serial per-stage latency floor (BENCH/BASELINE.md Amdahl
+    // decomposition), so the stage COUNT of each section is a first-class
+    // metric (VERDICT r3 #4).
+    val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageCounter.incrementAndGet(); ()
+      }
+    })
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val s0 = stageCounter.get()
       val r = f
-      println(f"[stage] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      Thread.sleep(300) // let listener events drain so the count is honest
+      println(f"[stage] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+        f"spark_stages=${stageCounter.get() - s0}%3d")
       r
     }
     def mat(df: DataFrame): DataFrame = { val d = df.localCheckpoint(true); d }
@@ -40,11 +54,23 @@ object StageBench {
     val sigs = timed("attach_tf")(mat(
       graft.signature.Signatures.attachTf(s0, tf).withColumn("block_key", col("bk_role_len"))))
     println(s"  sigs=${sigs.count()}")
-    val cascade = timed("cascade")(mat(graft.resolve.ExactCascade.run(
-      sigs.select(col("conv_id"), col("sig_text"), col("block_key")),
-      sigs.select(col("conv_id"), col("sig_text"), col("block_key")))
-      .filter(col("conv_id") =!= col("resolved_canonical_id"))))
+    val cascade = timed("cascade")(mat(graft.resolve.ExactCascade.selfExactLinks(
+      sigs.select(col("conv_id"), col("sig_text"), col("block_key")))))
     println(s"  cascade_links=${cascade.count()}")
+    if (sys.env.get("SPARK_GRAFT_STAGEBENCH_OLD_CASCADE").contains("1")) {
+      // stage-cut evidence (VERDICT r3 #4): the composed cascade this
+      // collapse replaced — wall + spark_stages printed for comparison,
+      // and the link sets must be identical.
+      val oldCascade = timed("cascade_old")(mat(graft.resolve.ExactCascade.run(
+        sigs.select(col("conv_id"), col("sig_text"), col("block_key")),
+        sigs.select(col("conv_id"), col("sig_text"), col("block_key")))
+        .filter(col("conv_id") =!= col("resolved_canonical_id"))))
+      val diff = oldCascade.select("conv_id", "resolved_canonical_id")
+        .exceptAll(cascade.select("conv_id", "resolved_canonical_id")).count() +
+        cascade.select("conv_id", "resolved_canonical_id")
+          .exceptAll(oldCascade.select("conv_id", "resolved_canonical_id")).count()
+      println(s"  old_cascade_links=${oldCascade.count()} link_set_diff=$diff (want 0)")
+    }
     val pairs = timed("blocking")(mat(graft.blocking.Blocking.candidatePairsSelf(
       sigs, "conv_id", graft.blocking.Blocking.defaultRules(graft.signature.Signatures.Bands),
       graft.blocking.Blocking.SkewConfig(maxBlockRows = 200, snmSortCol = Some("sig_text")))))

@@ -41,7 +41,8 @@ final case class BlockingRule(name: String, leftKey: Column, rightKey: Column)
   * and how many were routed to SNM salvage (reference analogue: match-reason
   * metrics, post_linkage/analyse_results.py:24-45).
   */
-final case class RuleTierStats(rule: Int, nSaltKeys: Long, nUltraKeys: Long)
+final case class RuleTierStats(
+    rule: Int, nSaltKeys: Long, nUltraKeys: Long, nOneSidedHotKeys: Long = 0L)
 
 /** Candidate pairs + the skew-tier stats observed while planning them. */
 final case class BlockingResult(pairs: DataFrame, tierStats: Seq[RuleTierStats])
@@ -247,15 +248,27 @@ object Blocking {
       .groupBy(col("rk.rule").as("rule"), col("rk.key").as("key"))
       .count()
     val counts =
-      if (selfDedup) keyCounts(lNarrow).withColumn("keep_l", lit(true))
+      if (selfDedup)
+        keyCounts(lNarrow)
+          .withColumn("keep_l", lit(true)).withColumn("one_sided", lit(false))
       else {
         val cl = keyCounts(lNarrow).withColumnRenamed("count", "cl")
         val cr = keyCounts(rNarrow).withColumnRenamed("count", "cr")
-        // inner join: a key present on only one side emits no pairs
-        cl.join(cr, Seq("rule", "key"))
+        // FULL outer: a key present on only one side emits no pairs, but if
+        // it is over-cap its exploded rows would still hash-shuffle into a
+        // single (rule, key, salt=0) partition through the unified join —
+        // the straggler/spill the tiering exists to prevent (ADVICE r3). So
+        // over-cap one-sided keys are tracked (count = the side's row
+        // count, one_sided = true) and NULLED below — lossless, since zero
+        // pairs and zero exclusion outcomes depend on them (the other side
+        // never carries the key, so no pair can be key-equal on it).
+        cl.join(cr, Seq("rule", "key"), "full_outer")
           .select(col("rule"), col("key"),
-            ceil(sqrt(col("cl") * col("cr"))).cast("long").as("count"),
-            (col("cl") >= col("cr")).as("keep_l"))
+            when(col("cl").isNotNull && col("cr").isNotNull,
+              ceil(sqrt(col("cl") * col("cr"))).cast("long"))
+              .otherwise(coalesce(col("cl"), col("cr"))).as("count"),
+            (coalesce(col("cl"), lit(0L)) >= coalesce(col("cr"), lit(0L))).as("keep_l"),
+            (col("cl").isNull || col("cr").isNull).as("one_sided"))
       }
     val hot = counts.filter(col("count") > cap).persist()
 
@@ -264,13 +277,21 @@ object Blocking {
     // pays one aggregate and none of the skew machinery. One row per rule,
     // so the collect is bounded by the rule count.
     val tierStats = hot.groupBy(col("rule")).agg(
-        sum(when(col("count") <= ultraCap, 1L).otherwise(0L)).as("n_salt"),
-        sum(when(col("count") > ultraCap, 1L).otherwise(0L)).as("n_ultra"))
+        sum(when(not(col("one_sided")) && col("count") <= ultraCap, 1L).otherwise(0L))
+          .as("n_salt"),
+        sum(when(not(col("one_sided")) && col("count") > ultraCap, 1L).otherwise(0L))
+          .as("n_ultra"),
+        sum(when(col("one_sided"), 1L).otherwise(0L)).as("n_one_sided"))
       .collect()
     val ultraRules: Set[Int] = tierStats.filter(_.getLong(2) > 0).map(_.getInt(0)).toSet
+    // rules whose keys must be NULLED before the unified join: ultra-hot
+    // (salvaged via SNM) plus over-cap one-sided (dropped outright)
+    val dropRules: Set[Int] =
+      tierStats.filter(r => r.getLong(2) > 0 || r.getLong(3) > 0).map(_.getInt(0)).toSet
     val anySalt: Boolean = tierStats.exists(_.getLong(1) > 0)
     val statsOut: Seq[RuleTierStats] = tierStats.map(r =>
-      RuleTierStats(r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_.rule).toSeq
+      RuleTierStats(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.rule).toSeq
 
     // Hot-key tables are bounded by the hot-key count; when small enough
     // (the overwhelmingly common case — keys above cap are rare by
@@ -279,48 +300,62 @@ object Blocking {
     // reps, runLink after run) must not accumulate cached partitions for
     // the lifetime of the SparkContext (ADVICE r2). Beyond the limit the
     // distributed persisted frames are kept (correctness unchanged).
-    val totalHot = tierStats.map(r => r.getLong(1) + r.getLong(2)).sum
+    val totalHot = tierStats.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
     val sp = l.sparkSession
-    val (saltInfo, ultra) =
+    // saltInfo: two-sided salt-tier keys; ultra: two-sided ultra-hot keys
+    // (SNM-salvaged); dropKeys: keys NULLED before the join = ultra plus
+    // over-cap one-sided keys (no pairs to salvage — dropping is lossless).
+    val (saltInfo, ultra, dropKeys) =
       if (totalHot == 0) {
         hot.unpersist()
-        (sp.emptyDataFrame, sp.emptyDataFrame)
+        (sp.emptyDataFrame, sp.emptyDataFrame, sp.emptyDataFrame)
       } else if (totalHot <= LocalHotKeyLimit) {
         import sp.implicits._
-        val hotRows = hot.select(col("rule"), col("key"), col("count"), col("keep_l"))
+        val hotRows = hot
+          .select(col("rule"), col("key"), col("count"), col("keep_l"), col("one_sided"))
           .collect()
         hot.unpersist()
-        val saltLocal = hotRows.toSeq
+        val twoSided = hotRows.toSeq.filter(!_.getBoolean(4))
+        val saltLocal = twoSided
           .filter(_.getLong(2) <= ultraCap)
           .map(r => (r.getInt(0), r.getString(1),
             math.ceil(r.getLong(2) / cap.toDouble).toInt, r.getBoolean(3)))
           .toDF("rule", "key", "g", "keep_l")
-        val ultraLocal = hotRows.toSeq
+        val ultraLocal = twoSided
           .filter(_.getLong(2) > ultraCap)
           .map(r => (r.getInt(0), r.getString(1)))
           .toDF("rule", "key")
-        (saltLocal, ultraLocal)
+        val dropLocal = hotRows.toSeq
+          .filter(r => r.getBoolean(4) || r.getLong(2) > ultraCap)
+          .map(r => (r.getInt(0), r.getString(1)))
+          .toDF("rule", "key")
+        (saltLocal, ultraLocal, dropLocal)
       } else {
-        (hot.filter(col("count") <= ultraCap)
+        (hot.filter(not(col("one_sided")) && col("count") <= ultraCap)
           .select(col("rule"), col("key"),
             ceil(col("count") / lit(cap.toDouble)).cast("int").as("g"), col("keep_l")),
-          hot.filter(col("count") > ultraCap).select(col("rule"), col("key")))
+          hot.filter(not(col("one_sided")) && col("count") > ultraCap)
+            .select(col("rule"), col("key")),
+          hot.filter(col("one_sided") || col("count") > ultraCap)
+            .select(col("rule"), col("key")))
       }
 
-    // Null ultra-hot keys on BOTH sides before the join: the rule neither
-    // emits nor excludes on them (exclusion on a key whose pairs were not
-    // fully emitted would silently lose recall — ADVICE.md round 1). Only
-    // rules that actually have ultra keys pay the broadcast lookup.
-    def nullUltra(df: DataFrame): DataFrame = ultraRules.toSeq.sorted.foldLeft(df) { (d, i) =>
-      val u = broadcast(ultra.filter(col("rule") === i)
+    // Null dropped keys (ultra-hot + over-cap one-sided) on BOTH sides
+    // before the join: the rule neither emits nor excludes on them
+    // (exclusion on a key whose pairs were not fully emitted would silently
+    // lose recall — ADVICE.md round 1; a one-sided key can never be
+    // key-equal across a pair, so nulling it changes no exclusion outcome).
+    // Only rules that actually have dropped keys pay the broadcast lookup.
+    def nullDropped(df: DataFrame): DataFrame = dropRules.toSeq.sorted.foldLeft(df) { (d, i) =>
+      val u = broadcast(dropKeys.filter(col("rule") === i)
         .select(col("key").as(s"__uk_$i"), lit(true).as(s"__uh_$i")))
       d.join(u, d(s"__bk_$i") === col(s"__uk_$i"), "left")
         .withColumn(s"__bk_$i",
           when(col(s"__uh_$i"), lit(null)).otherwise(col(s"__bk_$i")))
         .drop(s"__uk_$i", s"__uh_$i")
     }
-    val lK = if (ultraRules.isEmpty) lNarrow else nullUltra(lNarrow)
-    val rK = if (ultraRules.isEmpty) rNarrow else nullUltra(rNarrow)
+    val lK = if (dropRules.isEmpty) lNarrow else nullDropped(lNarrow)
+    val rK = if (dropRules.isEmpty) rNarrow else nullDropped(rNarrow)
 
     // ---- ONE unified join for every rule and tier, keyed (rule, key,
     // salt). Each side explodes its key array to (rule, key) rows carrying

@@ -97,7 +97,12 @@ object Evaluate {
       .select(
         coalesce(col("match_reason"), lit("OVERALL")).as("match_reason"),
         col("n_matches"), col("n_correct"),
-        // pct·1e4 = n_correct·1e6/n_matches, round-half-up via (2a+b) div 2b
+        // pct·1e4 = n_correct·1e6/n_matches, round-half-up via (2a+b) div 2b.
+        // PRECONDITION (every use of this identity repo-wide): a >= 0 and
+        // b > 0 — Spark's `div` truncates toward zero while DuckDB's `//`
+        // floors, which only agree for non-negative operands (ADVICE r3).
+        // Holds here: counts. Negative-capable inputs must use an explicit
+        // floor-div formulation instead.
         expr("(2 * n_correct * 1000000 + n_matches) div (2 * n_matches)")
           .as("accuracy_pct_e4"),
         (col("n_correct") * 100.0 / col("n_matches")).as("accuracy_pct"))

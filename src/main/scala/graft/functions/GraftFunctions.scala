@@ -191,6 +191,21 @@ object GraftFunctions {
     when(uni === 0d, lit(0d)).otherwise(inter / uni)
   }
 
+  /** Integer-scaled (×1e8) half-up Jaccard of two arrays-as-sets, emitted as
+    * BIGINT. Integer inputs + the shared (2a+b) div (2b) half-up identity
+    * (non-negative operands) make this EXACT on both engines — unlike a
+    * rounded DOUBLE, which diverges at ulp level (README oracle-parity
+    * notes). Empty-union -> 0. The `(n - n%d)/d` floor-div is exact: the
+    * numerator is a multiple of d and the quotient < 2^53.
+    */
+  def jaccardE8(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("long")
+    val u = size(array_union(a, b)).cast("long")
+    val num = lit(2L) * i * lit(100000000L) + u
+    val den = lit(2L) * u
+    when(u === 0L, lit(0L)).otherwise(((num - num % den) / den).cast("long"))
+  }
+
   /** Dot product of two equal-length numeric arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
@@ -204,6 +219,17 @@ object GraftFunctions {
     val n = l2norm(a) * l2norm(b)
     when(n === 0d, lit(0d)).otherwise(d / n)
   }
+
+  /** Cosine similarity scaled ×1e6 and emitted as BIGINT (half-away round
+    * then exact truncating cast of the integral double). Emitting an
+    * integer removes the rounded-DOUBLE representation divergence between
+    * Spark (BigDecimal HALF_UP) and DuckDB (float-math round); it still
+    * requires the underlying cosine double to be computed identically on
+    * both engines, which the sequential left-fold in `dot`/`l2norm` and the
+    * oracle's list_reduce guarantee.
+    */
+  def cosineE6(a: Column, b: Column): Column =
+    round(cosine(a, b) * lit(1000000d)).cast("long")
 
   // ---------------------------------------------------------------------
   // Histogram maps (reference: list_aggregate(arr,'histogram') — DuckDB's

@@ -65,8 +65,8 @@ object DedupQueries {
           col("l.block_key") === col("r.block_key") && col("l.doc_id") < col("r.doc_id") &&
             sizeCompatible)
         .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"),
-          round(jaccard(col("l.shingles"), col("r.shingles")), 8).as("jaccard3"))
-        .filter(col("jaccard3") >= 0.2)
+          jaccardE8(col("l.shingles"), col("r.shingles")).as("jaccard3_e8"))
+        .filter(col("jaccard3_e8") >= 20000000L)
     },
     Some(s"""
       WITH t AS (
@@ -78,11 +78,15 @@ object DedupQueries {
         FROM (SELECT doc_id, lang, n_chars, $duckToks AS toks FROM documents) z
         WHERE len(toks) >= 3)
       SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
-             round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
-                   greatest(len(list_distinct(l.shingles || r.shingles)), 1), 8) AS jaccard3
+             CAST((2 * len(list_intersect(l.shingles, r.shingles)) * 100000000
+                   + greatest(len(list_distinct(l.shingles || r.shingles)), 1))
+                  // (2 * greatest(len(list_distinct(l.shingles || r.shingles)), 1))
+                  AS BIGINT) AS jaccard3_e8
       FROM t l JOIN t r ON l.block_key = r.block_key AND l.doc_id < r.doc_id
-      WHERE round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
-                  greatest(len(list_distinct(l.shingles || r.shingles)), 1), 8) >= 0.2
+      WHERE CAST((2 * len(list_intersect(l.shingles, r.shingles)) * 100000000
+                  + greatest(len(list_distinct(l.shingles || r.shingles)), 1))
+                 // (2 * greatest(len(list_distinct(l.shingles || r.shingles)), 1))
+                 AS BIGINT) >= 20000000
     """)
   )
 
@@ -114,8 +118,8 @@ object DedupQueries {
       val shR = withSh.select(col("doc_id").as("doc_id_r"), col("shingles").as("sh_r"))
       cand.join(shL, Seq("doc_id_l")).join(shR, Seq("doc_id_r"))
         .select(col("doc_id_l"), col("doc_id_r"),
-          round(jaccard(col("sh_l"), col("sh_r")), 8).as("jaccard3"))
-        .filter(col("jaccard3") >= 0.2)
+          jaccardE8(col("sh_l"), col("sh_r")).as("jaccard3_e8"))
+        .filter(col("jaccard3_e8") >= 20000000L)
     },
     Some {
       val sigElems = (0 until LshK)
@@ -134,11 +138,13 @@ object DedupQueries {
       cand AS (SELECT DISTINCT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r
                FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id)
       SELECT c.doc_id_l, c.doc_id_r,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                   greatest(len(list_distinct(a.sh || b.sh)), 1), 8) AS jaccard3
+             CAST((2 * len(list_intersect(a.sh, b.sh)) * 100000000
+                   + greatest(len(list_distinct(a.sh || b.sh)), 1))
+                  // (2 * greatest(len(list_distinct(a.sh || b.sh)), 1)) AS BIGINT) AS jaccard3_e8
       FROM cand c JOIN sh a ON a.doc_id = c.doc_id_l JOIN sh b ON b.doc_id = c.doc_id_r
-      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  greatest(len(list_distinct(a.sh || b.sh)), 1), 8) >= 0.2
+      WHERE CAST((2 * len(list_intersect(a.sh, b.sh)) * 100000000
+                  + greatest(len(list_distinct(a.sh || b.sh)), 1))
+                 // (2 * greatest(len(list_distinct(a.sh || b.sh)), 1)) AS BIGINT) >= 20000000
       """
     }
   )
@@ -247,8 +253,8 @@ object DedupQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val scored = queries.crossJoin(e.filter(col("vec_id") % 50 =!= 0))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+            cosineE6(col("qv"), col("v")).as("cos_sim_e6"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim_e6").desc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       },
       Some("""
@@ -257,18 +263,19 @@ object DedupQueries {
         c AS (SELECT vec_id AS n_id, v FROM e WHERE vec_id % 50 <> 0),
         scored AS (
           SELECT q_id, n_id,
-            round(
+            CAST(round((
               list_reduce(list_prepend(0.0::DOUBLE,
                 list_transform(list_zip(qv, v), x -> x[1] * x[2])), (a, b) -> a + b)
               / COALESCE(NULLIF(
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                   list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1)) * 1000000)
+              AS BIGINT) AS cos_sim_e6
           FROM q CROSS JOIN c)
-        SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT q_id, n_id, cos_sim_e6, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+                    ORDER BY cos_sim_e6 DESC, n_id ASC) AS rank
           FROM scored) t
         WHERE rank <= 5
       """)
@@ -295,8 +302,8 @@ object DedupQueries {
           .select(col("vec_id").as("n_id"), col("v"), col("bucket"))
         val scored = q.join(c, Seq("bucket"))
           .select(col("q_id"), col("n_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+            cosineE6(col("qv"), col("v")).as("cos_sim_e6"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim_e6").desc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       },
       Some("""
@@ -311,18 +318,19 @@ object DedupQueries {
         c AS (SELECT vec_id AS n_id, v, bucket FROM e WHERE vec_id % 50 <> 0),
         scored AS (
           SELECT q_id, n_id,
-            round(
+            CAST(round((
               list_reduce(list_prepend(0.0::DOUBLE,
                 list_transform(list_zip(qv, v), x -> x[1] * x[2])), (a, b) -> a + b)
               / COALESCE(NULLIF(
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                   list_transform(qv, x -> x * x)), (a, b) -> a + b)) *
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)), 0), 1)) * 1000000)
+              AS BIGINT) AS cos_sim_e6
           FROM q JOIN c USING (bucket))
-        SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT q_id, n_id, cos_sim_e6, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+                    ORDER BY cos_sim_e6 DESC, n_id ASC) AS rank
           FROM scored) t
         WHERE rank <= 3
       """)
@@ -351,8 +359,8 @@ object DedupQueries {
           .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
           .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
           .select(col("q_id"), col("n_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id").asc)
+            cosineE6(col("qv"), col("v")).as("cos_sim_e6"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim_e6").desc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       },
       Some {
@@ -369,18 +377,19 @@ object DedupQueries {
           WHERE l.vec_id % 50 = 0 AND r.vec_id % 50 <> 0),
         scored AS (
           SELECT c.q_id, c.n_id,
-            round(
+            CAST(round((
               list_reduce(list_prepend(0.0::DOUBLE,
                 list_transform(list_zip(q.v, n.v), x -> x[1] * x[2])), (a, b) -> a + b)
               / COALESCE(NULLIF(
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                   list_transform(q.v, x -> x * x)), (a, b) -> a + b)) *
                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(n.v, x -> x * x)), (a, b) -> a + b)), 0), 1), 6) AS cos_sim
+                  list_transform(n.v, x -> x * x)), (a, b) -> a + b)), 0), 1)) * 1000000)
+              AS BIGINT) AS cos_sim_e6
           FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e n ON n.vec_id = c.n_id)
-        SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT q_id, n_id, cos_sim_e6, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                    ORDER BY cos_sim DESC, n_id ASC) AS rank
+                    ORDER BY cos_sim_e6 DESC, n_id ASC) AS rank
           FROM scored) t
         WHERE rank <= 3
         """

@@ -93,57 +93,86 @@ object ErQueries {
     SELECT * FROM pairs"""
 
   // ---- Fellegi-Sunter scoring -----------------------------------------
-  // log2 prior odds with prior = 1e-3: log2(p/(1-p))
-  private val PriorLog2 = "log2(0.001 / 0.999)"
+  // Every comparison-level Bayes factor is a power of two (1024, 128, …,
+  // 0.0625), so the FS weight decomposes EXACTLY as
+  //   match_weight = log2(prior_odds) + w_int
+  // with w_int an integer (the sum of the per-comparison log2 tiers) and
+  // prior_odds = 0.001/0.999 = 1/999 exactly. We therefore emit
+  //   match_weight_e6      = w_int·10^6 + round(log2(1/999)·10^6)   (BIGINT)
+  //   match_probability_e8 = half-up(p·10^8), p = 2^w/(999 + 2^w)   (BIGINT)
+  // — p is a ratio of exact integers (multiply through by 2^-w when w < 0),
+  // so both columns are pure integer arithmetic on both engines: no
+  // log2/pow double is ever emitted (the r2 ulp hash class). w_int range
+  // is [-9, 24], so 2·2^w·10^8 ≤ 3.4e15 — no overflow.
+  private val PriorE6 = -9964341L // round(log2(1/999) * 1e6); log2(1/999) = -9.964340867792417
 
   /** Spark-side score columns; mirrors the DuckDB SQL in duckScore. */
   private def scoreCols(df: DataFrame): DataFrame = {
     val jw = jaroWinkler(substring(col("norm_text_l"), 1, 80), substring(col("norm_text_r"), 1, 80))
-    val bfText = when(col("norm_text_l") === col("norm_text_r"), lit(1024.0))
-      .when(jw > 0.95, lit(128.0))
-      .when(jw > 0.9, lit(32.0))
-      .when(jw > 0.8, lit(4.0))
-      .otherwise(lit(0.25))
+    val wText = when(col("norm_text_l") === col("norm_text_r"), lit(10))
+      .when(jw > 0.95, lit(7))
+      .when(jw > 0.9, lit(5))
+      .when(jw > 0.8, lit(2))
+      .otherwise(lit(-2))
     val jac = jaccard(array_distinct(col("toks_l")), array_distinct(col("toks_r")))
-    val bfJac = when(jac >= 0.9, lit(256.0))
-      .when(jac >= 0.7, lit(64.0))
-      .when(jac >= 0.5, lit(16.0))
-      .when(jac >= 0.3, lit(2.0))
-      .otherwise(lit(0.125))
+    val wJac = when(jac >= 0.9, lit(8))
+      .when(jac >= 0.7, lit(6))
+      .when(jac >= 0.5, lit(4))
+      .when(jac >= 0.3, lit(1))
+      .otherwise(lit(-3))
     val num1l = try_element_at(regexp_extract_all(col("norm_text_l"), lit("[0-9]+"), lit(0)), lit(1))
     val num1r = try_element_at(regexp_extract_all(col("norm_text_r"), lit("[0-9]+"), lit(0)), lit(1))
-    val bfNum = when(num1l.isNull || num1r.isNull, lit(1.0))
-      .when(num1l === num1r, lit(64.0))
-      .otherwise(lit(0.0625))
-    df.withColumn("match_weight",
-        round(log2(lit(0.001) / lit(0.999)) + log2(bfText) + log2(bfJac) + log2(bfNum), 6))
-      .withColumn("match_probability",
-        round(pow(lit(2.0), col("match_weight")) / (lit(1.0) + pow(lit(2.0), col("match_weight"))), 8))
+    val wNum = when(num1l.isNull || num1r.isNull, lit(0))
+      .when(num1l === num1r, lit(6))
+      .otherwise(lit(-4))
+    df.withColumn("w_int", (wText + wJac + wNum).cast("long"))
+      .withColumn("match_weight_e6", col("w_int") * lit(1000000L) + lit(PriorE6))
+      .withColumn("match_probability_e8", expr("""
+        CASE WHEN w_int >= 0 THEN
+          (2 * shiftleft(CAST(1 AS BIGINT), CAST(w_int AS INT)) * 100000000
+             + 999 + shiftleft(CAST(1 AS BIGINT), CAST(w_int AS INT)))
+          div (2 * (999 + shiftleft(CAST(1 AS BIGINT), CAST(w_int AS INT))))
+        ELSE
+          (2 * CAST(100000000 AS BIGINT)
+             + 999 * shiftleft(CAST(1 AS BIGINT), CAST(-w_int AS INT)) + 1)
+          div (2 * (999 * shiftleft(CAST(1 AS BIGINT), CAST(-w_int AS INT)) + 1))
+        END"""))
   }
 
   private val duckScore: String = s"""
-    SELECT doc_id_l, doc_id_r, match_key,
-      round($PriorLog2
-        + log2(CASE WHEN norm_text_l = norm_text_r THEN 1024.0
-                    WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
-                                                 substr(norm_text_r, 1, 80)) > 0.95 THEN 128.0
-                    WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
-                                                 substr(norm_text_r, 1, 80)) > 0.9 THEN 32.0
-                    WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
-                                                 substr(norm_text_r, 1, 80)) > 0.8 THEN 4.0
-                    ELSE 0.25 END)
-        + log2(CASE WHEN jac >= 0.9 THEN 256.0 WHEN jac >= 0.7 THEN 64.0
-                    WHEN jac >= 0.5 THEN 16.0 WHEN jac >= 0.3 THEN 2.0
-                    ELSE 0.125 END)
-        + log2(CASE WHEN num1_l IS NULL OR num1_r IS NULL THEN 1.0
-                    WHEN num1_l = num1_r THEN 64.0 ELSE 0.0625 END), 6) AS match_weight
+    SELECT doc_id_l, doc_id_r, match_key, w_int,
+      w_int * 1000000 - 9964341 AS match_weight_e6,
+      CASE WHEN w_int >= 0 THEN
+        CAST((2 * ((CAST(1 AS BIGINT) << CAST(w_int AS INT)) * 100000000)
+              + 999 + (CAST(1 AS BIGINT) << CAST(w_int AS INT)))
+             // (2 * (999 + (CAST(1 AS BIGINT) << CAST(w_int AS INT)))) AS BIGINT)
+      ELSE
+        CAST((2 * CAST(100000000 AS BIGINT)
+              + 999 * (CAST(1 AS BIGINT) << CAST(-w_int AS INT)) + 1)
+             // (2 * (999 * (CAST(1 AS BIGINT) << CAST(-w_int AS INT)) + 1)) AS BIGINT)
+      END AS match_probability_e8
     FROM (
-      SELECT *,
-        len(list_intersect(list_distinct(toks_l), list_distinct(toks_r)))::DOUBLE /
-          greatest(len(list_distinct(toks_l || toks_r)), 1) AS jac,
-        regexp_extract_all(norm_text_l, '[0-9]+')[1] AS num1_l,
-        regexp_extract_all(norm_text_r, '[0-9]+')[1] AS num1_r
-      FROM pairs) p"""
+      SELECT doc_id_l, doc_id_r, match_key,
+        CAST(CASE WHEN norm_text_l = norm_text_r THEN 10
+                  WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
+                                               substr(norm_text_r, 1, 80)) > 0.95 THEN 7
+                  WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
+                                               substr(norm_text_r, 1, 80)) > 0.9 THEN 5
+                  WHEN jaro_winkler_similarity(substr(norm_text_l, 1, 80),
+                                               substr(norm_text_r, 1, 80)) > 0.8 THEN 2
+                  ELSE -2 END
+           + CASE WHEN jac >= 0.9 THEN 8 WHEN jac >= 0.7 THEN 6
+                  WHEN jac >= 0.5 THEN 4 WHEN jac >= 0.3 THEN 1
+                  ELSE -3 END
+           + CASE WHEN num1_l IS NULL OR num1_r IS NULL THEN 0
+                  WHEN num1_l = num1_r THEN 6 ELSE -4 END AS BIGINT) AS w_int
+      FROM (
+        SELECT *,
+          len(list_intersect(list_distinct(toks_l), list_distinct(toks_r)))::DOUBLE /
+            greatest(len(list_distinct(toks_l || toks_r)), 1) AS jac,
+          regexp_extract_all(norm_text_l, '[0-9]+')[1] AS num1_l,
+          regexp_extract_all(norm_text_r, '[0-9]+')[1] AS num1_r
+        FROM pairs) p) q"""
 
   val defs: Seq[QueryDef] = Seq(
     // --- q26: blocking pair generation with match_key.
@@ -161,13 +190,11 @@ object ErQueries {
       "q27_fs_scores",
       (s, dir) => scoreCols(blockedPairs(s, dir))
         .select(col("doc_id_l"), col("doc_id_r"), col("match_key"),
-          col("match_weight"), col("match_probability")),
+          col("match_weight_e6"), col("match_probability_e8")),
       Some(s"""
         WITH pairs AS ($duckBlockedPairs),
         scored AS ($duckScore)
-        SELECT doc_id_l, doc_id_r, match_key, match_weight,
-               round(pow(2.0, match_weight) / (1.0 + pow(2.0, match_weight)), 8)
-                 AS match_probability
+        SELECT doc_id_l, doc_id_r, match_key, match_weight_e6, match_probability_e8
         FROM scored
       """)
     ),
@@ -179,43 +206,46 @@ object ErQueries {
       "q28_best_match",
       (s, dir) => {
         val scored = scoreCols(blockedPairs(s, dir))
-          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight"))
+          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight_e6"))
         val w = Window.partitionBy(col("doc_id_r"))
-          .orderBy(col("match_weight").desc, col("doc_id_l").asc)
+          .orderBy(col("match_weight_e6").desc, col("doc_id_l").asc)
+        // distinguishability is a DIFFERENCE of weights, so the log2-prior
+        // term cancels: d_e6 is an exact multiple of 10^6 and the d > 10/5/0
+        // ladder maps 1:1 onto the e6-scaled thresholds.
         val withWin = scored
           .withColumn("rn", row_number().over(w))
-          .withColumn("distinguishability",
-            round(col("match_weight") - lead(col("match_weight"), 1).over(w), 6))
+          .withColumn("distinguishability_e6",
+            col("match_weight_e6") - lead(col("match_weight_e6"), 1).over(w))
           .withColumn("match_count", count(lit(1)).over(Window.partitionBy(col("doc_id_r"))))
         withWin.filter(col("rn") === 1)
           .withColumn("d_category",
             when(col("match_count") === 1, "01: one match only")
-              .when(col("distinguishability").isNull, "05: nan")
-              .when(col("distinguishability") > 10, "02: d > 10")
-              .when(col("distinguishability") > 5, "03: d > 5")
-              .when(col("distinguishability") > 0, "04: d > 0")
+              .when(col("distinguishability_e6").isNull, "05: nan")
+              .when(col("distinguishability_e6") > 10000000L, "02: d > 10")
+              .when(col("distinguishability_e6") > 5000000L, "03: d > 5")
+              .when(col("distinguishability_e6") > 0L, "04: d > 0")
               .otherwise("06: d = 0"))
-          .select(col("doc_id_r"), col("doc_id_l"), col("match_weight"),
-            col("distinguishability"), col("match_count"), col("d_category"))
+          .select(col("doc_id_r"), col("doc_id_l"), col("match_weight_e6"),
+            col("distinguishability_e6"), col("match_count"), col("d_category"))
       },
       Some(s"""
         WITH pairs AS ($duckBlockedPairs),
         scored AS ($duckScore),
         win AS (
-          SELECT doc_id_r, doc_id_l, match_weight,
+          SELECT doc_id_r, doc_id_l, match_weight_e6,
             ROW_NUMBER() OVER (PARTITION BY doc_id_r
-                               ORDER BY match_weight DESC, doc_id_l ASC) AS rn,
-            round(match_weight - LEAD(match_weight) OVER (PARTITION BY doc_id_r
-                               ORDER BY match_weight DESC, doc_id_l ASC), 6)
-              AS distinguishability,
+                               ORDER BY match_weight_e6 DESC, doc_id_l ASC) AS rn,
+            match_weight_e6 - LEAD(match_weight_e6) OVER (PARTITION BY doc_id_r
+                               ORDER BY match_weight_e6 DESC, doc_id_l ASC)
+              AS distinguishability_e6,
             COUNT(*) OVER (PARTITION BY doc_id_r) AS match_count
           FROM scored)
-        SELECT doc_id_r, doc_id_l, match_weight, distinguishability, match_count,
+        SELECT doc_id_r, doc_id_l, match_weight_e6, distinguishability_e6, match_count,
           CASE WHEN match_count = 1 THEN '01: one match only'
-               WHEN distinguishability IS NULL THEN '05: nan'
-               WHEN distinguishability > 10 THEN '02: d > 10'
-               WHEN distinguishability > 5 THEN '03: d > 5'
-               WHEN distinguishability > 0 THEN '04: d > 0'
+               WHEN distinguishability_e6 IS NULL THEN '05: nan'
+               WHEN distinguishability_e6 > 10000000 THEN '02: d > 10'
+               WHEN distinguishability_e6 > 5000000 THEN '03: d > 5'
+               WHEN distinguishability_e6 > 0 THEN '04: d > 0'
                ELSE '06: d = 0' END AS d_category
         FROM win WHERE rn = 1
       """)
@@ -289,16 +319,21 @@ object ErQueries {
             df.filter(not(coalesce(col(s"k${j}_l") === col(s"k${j}_r"), lit(false))))
           }.withColumn("match_key", lit(i))
         }.reduce(_ unionByName _)
+        // the e6-scaled weight rides through Evaluate.bestMatches under the
+        // generic "match_weight" name (ordering/ties are scale-invariant);
+        // mergeMatches upcasts it to DOUBLE alongside the deterministic
+        // NULLs, but every value is an integer < 2^53 so the final cast
+        // back to BIGINT is exact.
         val scored = scoreCols(pairs).select(
           col("doc_id_l").as("conv_id_l"), col("doc_id_r").as("conv_id_r"),
-          col("match_weight"))
+          col("match_weight_e6").as("match_weight"))
         val best = graft.evaluate.Evaluate.bestMatches(scored)
           .select("conv_id_r", "conv_id_l", "match_weight")
         val merged = graft.evaluate.Evaluate.mergeMatches(
           det.withColumnRenamed("doc_id", "conv_id"), best)
         merged.select(col("conv_id_r").as("doc_id_r"),
           col("conv_id_l").as("doc_id_l"), col("match_reason"),
-          round(col("match_weight"), 6).as("match_weight"))
+          col("match_weight").cast("long").as("match_weight_e6"))
       },
       Some(s"""
         WITH f AS ($duckFeatures),
@@ -353,15 +388,15 @@ object ErQueries {
           WHERE NOT coalesce(l.k0 = r.k0, FALSE) AND NOT coalesce(l.k1 = r.k1, FALSE)),
         scored AS ($duckScore),
         best AS (
-          SELECT doc_id_r, doc_id_l, match_weight FROM (
+          SELECT doc_id_r, doc_id_l, match_weight_e6 FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
-                      ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+                      ORDER BY match_weight_e6 DESC, doc_id_l ASC) AS rn FROM scored) t
           WHERE rn = 1)
         SELECT d.doc_id AS doc_id_r, d.resolved_canonical_id AS doc_id_l,
-               d.match_reason, CAST(NULL AS DOUBLE) AS match_weight
+               d.match_reason, CAST(NULL AS BIGINT) AS match_weight_e6
         FROM det d
         UNION ALL
-        SELECT b.doc_id_r, b.doc_id_l, 'probabilistic' AS match_reason, b.match_weight
+        SELECT b.doc_id_r, b.doc_id_l, 'probabilistic' AS match_reason, b.match_weight_e6
         FROM best b WHERE b.doc_id_r NOT IN (SELECT doc_id FROM det)
       """)
     ),
@@ -378,13 +413,13 @@ object ErQueries {
           min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
             .as("correct_conv_id"))
         val scored = scoreCols(blockedPairs(s, dir))
-          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight"))
+          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight_e6"))
         val w = Window.partitionBy(col("doc_id_r"))
-          .orderBy(col("match_weight").desc, col("doc_id_l").asc)
+          .orderBy(col("match_weight_e6").desc, col("doc_id_l").asc)
         val matches = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id_r").as("conv_id_r"), col("doc_id_l").as("conv_id_l"),
-            when(col("match_weight") > 0, "strong").otherwise("weak").as("match_reason"))
+            when(col("match_weight_e6") > 0, "strong").otherwise("weak").as("match_reason"))
         graft.evaluate.Evaluate.accuracyByReason(matches, labels)
           .drop("accuracy_pct") // DOUBLE is human-facing; hash the exact BIGINT
       },
@@ -393,9 +428,9 @@ object ErQueries {
         scored AS ($duckScore),
         best AS (
           SELECT doc_id_r AS conv_id_r, doc_id_l AS conv_id_l,
-                 CASE WHEN match_weight > 0 THEN 'strong' ELSE 'weak' END AS match_reason
+                 CASE WHEN match_weight_e6 > 0 THEN 'strong' ELSE 'weak' END AS match_reason
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
-                          ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+                          ORDER BY match_weight_e6 DESC, doc_id_l ASC) AS rn FROM scored) t
           WHERE rn = 1),
         labels AS (
           SELECT doc_id AS conv_id,
@@ -423,9 +458,9 @@ object ErQueries {
           min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
             .as("correct_conv_id"))
         val scored = scoreCols(blockedPairs(s, dir))
-          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight"))
+          .select(col("doc_id_l"), col("doc_id_r"), col("match_weight_e6"))
         val w = Window.partitionBy(col("doc_id_r"))
-          .orderBy(col("match_weight").desc, col("doc_id_l").asc)
+          .orderBy(col("match_weight_e6").desc, col("doc_id_l").asc)
         val matches = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id_r").as("conv_id_r"), col("doc_id_l").as("conv_id_l"),
@@ -440,7 +475,7 @@ object ErQueries {
         best AS (
           SELECT doc_id_r AS conv_id_r, doc_id_l AS conv_id_l
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id_r
-                          ORDER BY match_weight DESC, doc_id_l ASC) AS rn FROM scored) t
+                          ORDER BY match_weight_e6 DESC, doc_id_l ASC) AS rn FROM scored) t
           WHERE rn = 1),
         labels AS (
           SELECT doc_id AS conv_id,

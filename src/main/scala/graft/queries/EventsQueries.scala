@@ -46,7 +46,10 @@ object EventsQueries {
           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM g)
-        SELECT user_id, session_seq, count(*) AS n_events,
+        -- session_seq is a windowed SUM over an INT: DuckDB widens it to
+        -- HUGEINT (arrow decimal128) while Spark emits BIGINT; the driver's
+        -- hash is type-sensitive, so cast (README "Oracle-parity notes").
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT) AS session_value_c,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         FROM sess GROUP BY user_id, session_seq

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * (broadcast/semi/anti), windows (top-N, lead/lag), cube, set ops, string
   * scalars, sort/limit — each with a DuckDB oracle.
   *
-  * Conventions for oracle parity: doubles rounded; dates emitted as strings;
-  * every output deterministic including tie-breaks.
+  * Conventions for oracle parity: NO emitted doubles — money/ratio outputs
+  * are integer-scaled BIGINTs (cents / e4 / e6; README "Oracle-parity
+  * notes"); dates emitted as strings; every output deterministic including
+  * tie-breaks.
   */
 object RelationalQueries {
   import Tables.load
@@ -133,13 +135,16 @@ object RelationalQueries {
         val o = load(s, dir, "orders")
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        // price emitted as exact cents (never a rounded DOUBLE — r2 ulp class)
         o.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("o_totalprice_c"),
+            col("rn"))
       },
       Some("""
-        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_c, rn
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -161,14 +166,16 @@ object RelationalQueries {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
             .as("days_to_next"),
-          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"))
+          lag((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"), 1).over(w)
+            .as("prev_price_c"))
       },
       Some("""
         SELECT o_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
                CAST(date_diff('day', CAST(o_orderdate AS DATE),
                  CAST(LEAD(o_orderdate, 1) OVER w AS DATE)) AS INT) AS days_to_next,
-               round(LAG(o_totalprice, 1) OVER w, 2) AS prev_price
+               LAG(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 1) OVER w
+                 AS prev_price_c
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       """)
@@ -180,16 +187,18 @@ object RelationalQueries {
       (s, dir) => {
         val o = load(s, dir, "orders")
         o.cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("o_totalprice").cast("decimal(20,2)")) * 100).cast("long").as("total_c"))
           .select(
             coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
             coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
-            col("n"), col("total"))
+            col("n"), col("total_c"))
       },
       Some("""
         SELECT coalesce(o_orderstatus, '<all>') AS status,
                coalesce(o_orderpriority, '<all>') AS priority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT) AS total_c
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       """)
     ),
@@ -256,10 +265,12 @@ object RelationalQueries {
         li.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
           .limit(20)
           .select(col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 2).as("l_extendedprice"))
+            (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("l_extendedprice_c"))
       },
       Some("""
-        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS l_extendedprice_c
         FROM lineitem
         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         LIMIT 20

@@ -76,17 +76,24 @@ object TextQueries {
       "q13_tf_table",
       (s, dir) => {
         val d = load(s, dir, "documents")
+        // rel_freq emitted integer-scaled at 1e10 via the shared half-up
+        // identity (2a+b) div (2b) — never a rounded DOUBLE (r2 ulp class).
+        // Overflow-safe: cnt ≤ ~1e6 tokens at sf0.1, 2·cnt·1e10 ≤ 2e16 < 2^63.
         val counted = d.select(explode(docToks(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         counted
-          .withColumn("rel_freq", round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 10))
+          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .withColumn("rel_freq_e10", expr("(2 * cnt * 10000000000 + total) div (2 * total)"))
           .filter(col("cnt") >= 3)
+          .select(col("token"), col("cnt"), col("rel_freq_e10"))
       },
       Some(s"""
         WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
-        counted AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
-        SELECT token, cnt, round(cnt / sum(cnt) OVER (), 10) AS rel_freq
-        FROM counted WHERE cnt >= 3
+        counted AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT token, cnt, sum(cnt) OVER () AS total FROM counted)
+        SELECT token, cnt,
+               CAST((2 * cnt * 10000000000 + total) // (2 * total) AS BIGINT) AS rel_freq_e10
+        FROM tot WHERE cnt >= 3
       """)
     ),
 
@@ -146,35 +153,43 @@ object TextQueries {
           "fr" -> Seq("LE", "LA", "DE", "ET", "UN", "EST"),
           "es" -> Seq("EL", "LA", "DE", "Y", "UN", "ES"),
           "de" -> Seq("DER", "DIE", "DAS", "UND", "EIN", "IST"))
-        def score(m: Seq[String]): Column =
-          round(size(filter(toks, t => t.isin(m: _*))) / greatest(size(toks), lit(1)).cast("double"), 8)
-        val scored = d.select(col("doc_id"), col("lang"),
-          score(markers("en")).as("score_en"), score(markers("fr")).as("score_fr"),
-          score(markers("es")).as("score_es"), score(markers("de")).as("score_de"))
+        // scores integer-scaled at 1e8: exact half-up of hits/n over integer
+        // inputs (no emitted DOUBLE — r2 ulp class); argmax on the scaled
+        // integers is order-equivalent to the ratio argmax.
+        def hits(m: Seq[String]): Column = size(filter(toks, t => t.isin(m: _*))).cast("long")
+        val base = d.select(col("doc_id"), col("lang"),
+          hits(markers("en")).as("h_en"), hits(markers("fr")).as("h_fr"),
+          hits(markers("es")).as("h_es"), hits(markers("de")).as("h_de"),
+          greatest(size(toks), lit(1)).cast("long").as("n"))
+        def score(h: String): Column = expr(s"(2 * $h * 100000000 + n) div (2 * n)")
+        val scored = base.select(col("doc_id"), col("lang"),
+          score("h_en").as("score_en_e8"), score("h_fr").as("score_fr_e8"),
+          score("h_es").as("score_es_e8"), score("h_de").as("score_de_e8"))
         scored.withColumn("predicted_lang",
-          when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es") &&
-            col("score_en") >= col("score_de"), lit("en"))
-            .when(col("score_fr") >= col("score_es") && col("score_fr") >= col("score_de"), lit("fr"))
-            .when(col("score_es") >= col("score_de"), lit("es"))
+          when(col("score_en_e8") >= col("score_fr_e8") && col("score_en_e8") >= col("score_es_e8") &&
+            col("score_en_e8") >= col("score_de_e8"), lit("en"))
+            .when(col("score_fr_e8") >= col("score_es_e8") &&
+              col("score_fr_e8") >= col("score_de_e8"), lit("fr"))
+            .when(col("score_es_e8") >= col("score_de_e8"), lit("es"))
             .otherwise(lit("de")))
       },
       Some(s"""
         WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
         scored AS (
           SELECT doc_id, lang,
-            round(len(list_filter(toks, x -> list_contains(['THE','A','OF','AND','TO','IS'], x)))
-              / greatest(len(toks), 1)::DOUBLE, 8) AS score_en,
-            round(len(list_filter(toks, x -> list_contains(['LE','LA','DE','ET','UN','EST'], x)))
-              / greatest(len(toks), 1)::DOUBLE, 8) AS score_fr,
-            round(len(list_filter(toks, x -> list_contains(['EL','LA','DE','Y','UN','ES'], x)))
-              / greatest(len(toks), 1)::DOUBLE, 8) AS score_es,
-            round(len(list_filter(toks, x -> list_contains(['DER','DIE','DAS','UND','EIN','IST'], x)))
-              / greatest(len(toks), 1)::DOUBLE, 8) AS score_de
+            CAST((2 * len(list_filter(toks, x -> list_contains(['THE','A','OF','AND','TO','IS'], x)))
+              * 100000000 + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1)) AS BIGINT) AS score_en_e8,
+            CAST((2 * len(list_filter(toks, x -> list_contains(['LE','LA','DE','ET','UN','EST'], x)))
+              * 100000000 + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1)) AS BIGINT) AS score_fr_e8,
+            CAST((2 * len(list_filter(toks, x -> list_contains(['EL','LA','DE','Y','UN','ES'], x)))
+              * 100000000 + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1)) AS BIGINT) AS score_es_e8,
+            CAST((2 * len(list_filter(toks, x -> list_contains(['DER','DIE','DAS','UND','EIN','IST'], x)))
+              * 100000000 + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1)) AS BIGINT) AS score_de_e8
           FROM t)
         SELECT *,
-          CASE WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
-               WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
-               WHEN score_es >= score_de THEN 'es'
+          CASE WHEN score_en_e8 >= score_fr_e8 AND score_en_e8 >= score_es_e8 AND score_en_e8 >= score_de_e8 THEN 'en'
+               WHEN score_fr_e8 >= score_es_e8 AND score_fr_e8 >= score_de_e8 THEN 'fr'
+               WHEN score_es_e8 >= score_de_e8 THEN 'es'
                ELSE 'de' END AS predicted_lang
         FROM scored
       """)
@@ -185,36 +200,54 @@ object TextQueries {
     QueryDef(
       "q22_quality",
       (s, dir) => {
+        // all three ratios integer-scaled at 1e8 via (2a+b) div (2b) over
+        // integer numerators/denominators — exact half-up on both engines,
+        // no emitted DOUBLE (r2 ulp class). quality_pass's 10·distinct > 3·n
+        // is the exact integer form of distinct/n > 0.3.
         val d = load(s, dir, "documents")
         val toks = docToks(col("text"))
-        val nTok = greatest(size(toks), lit(1)).cast("double")
-        d.select(
+        val base = d.select(
           col("doc_id"),
-          length(col("text")).as("len_chars"),
+          length(col("text")).cast("long").as("len_chars"),
           size(toks).as("n_tokens"),
-          round(size(filter(toks, t => t.isin(stopwordsEn.map(_.toUpperCase): _*))) / nTok, 8)
-            .as("stopword_ratio"),
-          round((length(col("text")) -
-            length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("double") /
-            greatest(length(col("text")), lit(1)), 8).as("punct_ratio"),
-          round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTok, 8)
-            .as("mean_token_len"),
-          (size(toks) >= 20 && size(array_distinct(toks)) / nTok > 0.3).as("quality_pass"))
+          size(filter(toks, t => t.isin(stopwordsEn.map(_.toUpperCase): _*))).cast("long")
+            .as("sw_hits"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+            .cast("long").as("n_punct"),
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_tok_len"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        base.select(
+          col("doc_id"), col("len_chars"), col("n_tokens"),
+          expr("(2 * sw_hits * 100000000 + greatest(n_tokens, 1)) div (2 * greatest(n_tokens, 1))")
+            .as("stopword_ratio_e8"),
+          expr("(2 * n_punct * 100000000 + greatest(len_chars, 1)) div (2 * greatest(len_chars, 1))")
+            .as("punct_ratio_e8"),
+          expr("(2 * sum_tok_len * 100000000 + greatest(n_tokens, 1)) div (2 * greatest(n_tokens, 1))")
+            .as("mean_token_len_e8"),
+          (col("n_tokens") >= 20 && col("n_distinct") * 10 > col("n_tokens") * 3)
+            .as("quality_pass"))
       },
       Some(s"""
-        WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
-        SELECT doc_id,
-          length(text) AS len_chars,
-          len(toks) AS n_tokens,
-          round(len(list_filter(toks, x -> list_contains(['THE','A','OF','AND','TO','IN','IS','ON','FOR','WITH'], x)))
-            / greatest(len(toks), 1)::DOUBLE, 8) AS stopword_ratio,
-          round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-            / greatest(length(text), 1), 8) AS punct_ratio,
-          round(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> length(x)::BIGINT)),
-            (a, b) -> a + b)::DOUBLE / greatest(len(toks), 1), 8) AS mean_token_len,
-          (len(toks) >= 20 AND len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE > 0.3)
-            AS quality_pass
-        FROM t
+        WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+        base AS (
+          SELECT doc_id,
+            length(text)::BIGINT AS len_chars,
+            len(toks) AS n_tokens,
+            len(list_filter(toks, x -> list_contains(['THE','A','OF','AND','TO','IN','IS','ON','FOR','WITH'], x)))::BIGINT AS sw_hits,
+            (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS n_punct,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> length(x)::BIGINT)),
+              (a, b) -> a + b) AS sum_tok_len,
+            len(list_distinct(toks))::BIGINT AS n_distinct
+          FROM t)
+        SELECT doc_id, len_chars, n_tokens,
+          CAST((2 * sw_hits * 100000000 + greatest(n_tokens, 1))
+               // (2 * greatest(n_tokens, 1)) AS BIGINT) AS stopword_ratio_e8,
+          CAST((2 * n_punct * 100000000 + greatest(len_chars, 1))
+               // (2 * greatest(len_chars, 1)) AS BIGINT) AS punct_ratio_e8,
+          CAST((2 * sum_tok_len * 100000000 + greatest(n_tokens, 1))
+               // (2 * greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e8,
+          (n_tokens >= 20 AND n_distinct * 10 > n_tokens * 3) AS quality_pass
+        FROM base
       """)
     ),
 
@@ -288,9 +321,9 @@ object TextQueries {
         withPrev.select(
           col("lang"), col("doc_id"),
           size(col("toks")).as("n_tokens"),
-          when(b.isNull, lit(null).cast("double"))
-            .otherwise(round(jaccard(array_distinct(a), array_distinct(b)), 8))
-            .as("jaccard_prev"),
+          when(b.isNull, lit(null).cast("long"))
+            .otherwise(jaccardE8(array_distinct(a), array_distinct(b)))
+            .as("jaccard_prev_e8"),
           when(b.isNull, lit(null).cast("int"))
             .when(m === 0, lit(0))
             .otherwise(suffixLen).as("common_suffix_len"))
@@ -302,8 +335,10 @@ object TextQueries {
               FROM t)
         SELECT lang, doc_id, len(toks) AS n_tokens,
                CASE WHEN prev_toks IS NULL THEN NULL
-                    ELSE round(len(list_intersect(list_distinct(toks), list_distinct(prev_toks)))::DOUBLE /
-                         greatest(len(list_distinct(toks || prev_toks)), 1), 8) END AS jaccard_prev,
+                    ELSE CAST((2 * len(list_intersect(list_distinct(toks), list_distinct(prev_toks)))
+                               * 100000000 + greatest(len(list_distinct(toks || prev_toks)), 1))
+                              // (2 * greatest(len(list_distinct(toks || prev_toks)), 1)) AS BIGINT)
+                    END AS jaccard_prev_e8,
                CASE WHEN prev_toks IS NULL THEN NULL
                     WHEN least(len(toks), len(prev_toks)) = 0 THEN 0
                     ELSE len(list_filter(range(1, least(len(toks), len(prev_toks)) + 1),

@@ -39,8 +39,13 @@ object ConnectedComponents {
     * untouched above the threshold — this is the AQE-style "smallness"
     * adaptation, decided from the count the convergence signature already
     * computes.
+    *
+    * Default 100k edges: the collect is ~2 Rows-worth of string ids per
+    * edge, so 100k stays well under typical 1g spark-submit driver heaps
+    * (a 1M default risked several hundred MB of driver Rows + union-find
+    * map — ADVICE r3). Callers with big drivers can raise it explicitly.
     */
-  val DriverFinishMaxEdges = 1000000L
+  val DriverFinishMaxEdges = 100000L
 
   def run(
       spark: SparkSession,
@@ -155,16 +160,23 @@ object ConnectedComponents {
   /** Exact driver-side finish for small edge sets: union-find with
     * min-id roots — identical output to the large/small-star fixpoint
     * (every node maps to its component's minimum id), in one collect
-    * instead of 3-5 four-shuffle rounds. Comparison uses the id column's
-    * native ordering so numeric ids behave exactly like the distributed
-    * least()/min() path.
+    * instead of 3-5 four-shuffle rounds. Comparison matches the distributed
+    * least()/min() path EXACTLY: numeric ids by value; string ids by UTF-8
+    * BINARY byte order (Spark's UTF8String comparison) — Java's String `<`
+    * is UTF-16 code-unit order, which disagrees for supplementary code
+    * points vs U+E000..U+FFFF, so the two paths could otherwise pick
+    * different component roots depending on which one the edge-count
+    * threshold selected (ADVICE r3).
     */
   private def driverUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    import java.nio.charset.StandardCharsets.UTF_8
     val dt = e.schema(0).dataType
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8)) < 0
     val lt: (Any, Any) => Boolean = dt match {
-      case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case StringType => (a, b) => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String])
       case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       case _ => (a, b) => String.valueOf(a) < String.valueOf(b)

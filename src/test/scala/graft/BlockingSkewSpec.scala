@@ -90,6 +90,21 @@ class BlockingSkewSpec extends AnyFunSuite {
     assert(res.tierStats === Seq(RuleTierStats(0, 1, 0)))
   }
 
+  test("link mode: over-cap one-sided key is dropped losslessly, not shuffled hot") {
+    // key HUGE exists only on the left (600 rows > cap*factor=400): it can
+    // emit no pairs, and must be classified (nulled + counted in stats)
+    // rather than riding the unified join into one (rule,key,salt=0)
+    // partition (ADVICE r3). Shared key OK still emits its full pair set.
+    val left = ((1 to 600).map(i => (f"c$i%04d", "HUGE")) ++
+      (1 to 20).map(i => (f"s$i%03d", "OK"))).toDF("conv_id", "key")
+    val right = (1 to 10).map(i => (f"m$i%03d", "OK")).toDF("conv_id", "key")
+    val res = Blocking.candidatePairsLinkWithStats(
+      left, right, "conv_id", rule,
+      Blocking.SkewConfig(maxBlockRows = 50, maxSaltFactor = 8))
+    assert(res.pairs.count() === 20L * 10)
+    assert(res.tierStats === Seq(RuleTierStats(0, 0, 0, 1)))
+  }
+
   test("tier stats count planted salted and ultra-hot keys") {
     val salted = (1 to 500).map { i =>
       (f"id$i%04d", if (i <= 400) "HOT" else s"solo$i")

@@ -44,6 +44,31 @@ class CascadeSpec extends AnyFunSuite {
     assert(ann.filter(col("conv_id") === "m4" && col("match_reason").isNull).count() === 1)
   }
 
+  test("selfExactLinks == full cascade run(records, records) minus identity links") {
+    // the one-shuffle self-dedup collapse used by Pipeline.run (VERDICT r3
+    // #4) must be output-identical to the composed cascade, including on
+    // duplicate groups, unique texts, null keys and empty strings
+    val records = Seq(
+      ("s1", "HELLO WORLD HOW ARE YOU TODAY FRIEND", "B1"),
+      ("s2", "HELLO WORLD HOW ARE YOU TODAY FRIEND", "B1"), // dup of s1
+      ("s3", "HELLO WORLD HOW ARE YOU TODAY FRIEND", "B2"), // same text, other block
+      ("s4", "COMPLETELY DIFFERENT CANONICAL TEXT HERE OKAY", "B1"),
+      ("s5", "COMPLETELY DIFFERENT CANONICAL TEXT HERE OKAY", "B1"), // dup of s4
+      ("s6", "A UNIQUE NEVER REPEATED WORDING HERE", "B1"),
+      ("s7", null, "B1"),
+      ("s8", "", "B2"),
+      ("s9", "", "B2") // empty-string dup of s8 (still a valid group)
+    ).toDF("conv_id", "sig_text", "block_key")
+    val viaCascade = ExactCascade.run(records, records)
+      .filter(col("conv_id") =!= col("resolved_canonical_id"))
+      .as[(String, String, String)].collect().toSet
+    val viaCollapse = ExactCascade.selfExactLinks(records)
+      .as[(String, String, String)].collect().toSet
+    assert(viaCollapse === viaCascade)
+    assert(viaCollapse.map(t => (t._1, t._2)) ===
+      Set(("s2", "s1"), ("s5", "s4"), ("s9", "s8")))
+  }
+
   test("suffix stage: deepest-unique suffix resolves; ambiguous or shallow do not") {
     val canon = Seq(
       ("c1", "PLEASE RESTART THE PAYMENT SERVICE ON NODE SEVEN", "B1"),

@@ -7,7 +7,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  /** driver-side union-find oracle */
+  /** driver-side union-find oracle — UTF-8 byte ordering, i.e. Spark's
+    * binary UTF8String comparison (differs from Java UTF-16 `<` for
+    * supplementary code points).
+    */
+  private val utf8Ord: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def unionFind(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
     def find(x: String): String = {
@@ -17,12 +25,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.Ordering[String].max(ra, rb)) = math.Ordering[String].min(ra, rb)
+      if (ra != rb) parent(utf8Ord.max(ra, rb)) = utf8Ord.min(ra, rb)
     }
     // compress to min member per component
     val byRoot = nodes.groupBy(find)
     byRoot.flatMap { case (_, members) =>
-      val m = members.min
+      val m = members.min(utf8Ord)
       members.map(_ -> m)
     }
   }
@@ -67,6 +75,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       }
       check(nodes, edges)
     }
+  }
+
+  test("non-BMP ids: driver finish and distributed path agree on UTF-8 root") {
+    // U+10000 (surrogate pair 0xD800 0xDC00) sorts BELOW U+FFFD in Java
+    // UTF-16 code-unit order but ABOVE it in UTF-8 byte order (F0 90 80 80
+    // vs EF BF BD) — Spark's binary string ordering. Both CC paths must
+    // pick the UTF-8 minimum as the cluster root (ADVICE r3 / VERDICT r3 #7).
+    val supp = "𐀀id" // U+10000 prefix
+    val bmp = "�id" // U+FFFD prefix
+    assert(supp < bmp, "precondition: UTF-16 order says supp < bmp")
+    assert(utf8Ord.lt(bmp, supp), "precondition: UTF-8 order says bmp < supp")
+    check(
+      nodes = Seq(supp, bmp, "zz", "aa"),
+      edges = Seq((supp, bmp), (bmp, "zz")))
   }
 
   test("long path (stresses iteration count: doubling convergence)") {

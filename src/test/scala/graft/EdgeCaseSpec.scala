@@ -161,10 +161,102 @@ class EdgeCaseSpec extends AnyFunSuite {
         Seq("user" -> "enable two factor auth for user uid-3307",
           "assistant" -> "two factor enabled"),
         Seq("user" -> "enable two factor auth for user uid-8804",
-          "assistant" -> "two factor enabled")))
+          "assistant" -> "two factor enabled"))),
+
+    // ---- round-4 blocks (VERDICT r3 #6 — reference corpus parity: 21
+    // blocks, tests/edge_case_addresses.yaml:1-2).
+
+    ("near_identical_long_transcript",
+      Seq("user" -> "investigate latency spike on service mesh MESH-4471",
+        "assistant" -> "pulling traces from the ingress tier",
+        "user" -> "focus on the checkout route",
+        "assistant" -> "p99 is four hundred milliseconds on checkout",
+        "user" -> "compare against last tuesday",
+        "assistant" -> "last tuesday p99 was ninety milliseconds",
+        "user" -> "what changed since then",
+        "assistant" -> "a new retry policy was deployed wednesday",
+        "user" -> "roll back the retry policy",
+        "assistant" -> "rollback complete latency recovering"),
+      Seq(
+        // truth: identical except punctuation/casing drift
+        Seq("user" -> "Investigate latency spike on service mesh MESH-4471.",
+          "assistant" -> "Pulling traces from the ingress tier.",
+          "user" -> "Focus on the checkout route.",
+          "assistant" -> "P99 is four hundred milliseconds on checkout.",
+          "user" -> "Compare against last Tuesday.",
+          "assistant" -> "Last Tuesday p99 was ninety milliseconds.",
+          "user" -> "What changed since then?",
+          "assistant" -> "A new retry policy was deployed Wednesday.",
+          "user" -> "Roll back the retry policy.",
+          "assistant" -> "Rollback complete, latency recovering."),
+        // decoy: one load-bearing token differs deep in the middle
+        Seq("user" -> "investigate latency spike on service mesh MESH-4471",
+          "assistant" -> "pulling traces from the ingress tier",
+          "user" -> "focus on the checkout route",
+          "assistant" -> "p99 is four hundred milliseconds on checkout",
+          "user" -> "compare against last tuesday",
+          "assistant" -> "last tuesday p99 was ninety milliseconds",
+          "user" -> "what changed since then",
+          "assistant" -> "a new caching policy was deployed wednesday",
+          "user" -> "roll back the caching policy",
+          "assistant" -> "rollback complete latency recovering"))),
+
+    ("number_only_diff_tool_output",
+      Seq("user" -> "check disk usage on volume VOL-300",
+        "tool" -> "usage 91 percent of 2048 gigabytes",
+        "assistant" -> "the volume is nearly full"),
+      Seq(
+        Seq("user" -> "check disk usage on volume VOL-300",
+          "tool" -> "usage 91 percent of 2048 gigabytes",
+          "assistant" -> "the volume is nearly full yes"),
+        Seq("user" -> "check disk usage on volume VOL-300",
+          "tool" -> "usage 17 percent of 4096 gigabytes",
+          "assistant" -> "the volume is nearly full"))),
+
+    ("repeated_turn_spam",
+      Seq("user" -> "unlock account ACC-2290 after failed logins",
+        "assistant" -> "account unlocked please try again"),
+      Seq(
+        // truth buried under heavy repeated-turn spam
+        Seq("user" -> "unlock account ACC-2290 after failed logins",
+          "user" -> "hello",
+          "user" -> "hello",
+          "user" -> "hello",
+          "user" -> "hello",
+          "user" -> "hello",
+          "user" -> "hello",
+          "assistant" -> "account unlocked please try again"),
+        Seq("user" -> "unlock account ACC-7765 after failed logins",
+          "assistant" -> "account unlocked please try again"))),
+
+    ("multilingual_block",
+      Seq("user" -> "necesito restablecer la clave del usuario UID-4521",
+        "assistant" -> "la clave fue restablecida correctamente"),
+      Seq(
+        Seq("user" -> "necesito restablecer la clave del usuario UID-4521 por favor",
+          "assistant" -> "la clave fue restablecida correctamente"),
+        Seq("user" -> "necesito restablecer la clave del usuario UID-9913",
+          "assistant" -> "la clave fue restablecida correctamente"))),
+
+    ("single_turn_minimal",
+      Seq("user" -> "ping healthcheck HC-42"),
+      Seq(
+        Seq("user" -> "ping healthcheck HC-42 now"),
+        Seq("user" -> "ping healthcheck HC-77"))),
+
+    ("emoji_unicode_text",
+      Seq("user" -> "confirm shipment 📦 for order ÖRD-551 to münchen",
+        "assistant" -> "shipment confirmed ✅ arriving tuesday"),
+      Seq(
+        Seq("user" -> "confirm shipment 📦 for order ÖRD-551 to münchen please",
+          "assistant" -> "shipment confirmed ✅ arriving tuesday"),
+        Seq("user" -> "confirm shipment 📦 for order ÖRD-838 to köln",
+          "assistant" -> "shipment confirmed ✅ arriving friday")))
   )
 
   test("best match picks the true candidate on every edge case") {
+    // reference corpus parity: 21 curated blocks (edge_case_addresses.yaml)
+    assert(cases.length >= 21, s"edge corpus has ${cases.length} blocks, want >= 21")
     // build a turn table: messy id m<i>, candidates c<i>_<j>; block key = case index
     val rows = cases.zipWithIndex.flatMap { case ((_, messy, cands), i) =>
       def turnsOf(cid: String, conv: Conv) = conv.zipWithIndex.map { case ((role, text), t) =>
