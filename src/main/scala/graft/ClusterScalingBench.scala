@@ -64,7 +64,11 @@ object ClusterScalingBench {
     val nTurns = turns.count()
     val cpu0 = cpu.cpuNs.get() // exclude input generation
     val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, turns)
+    // this bench submits with --driver-memory 8g, so the exact driver-side
+    // CC finish is safe well beyond the conservative 1g-driver default gate
+    // (Pipeline.Config doc); 2M edges ~ a few hundred MB of driver heap
+    val res = Pipeline.run(spark, turns,
+      Pipeline.Config(ccDriverFinishMaxEdges = 2000000L))
     val nPairs = res.pairs.count()
     res.refined.count()
     res.clusters.select("cluster_id").distinct().count()

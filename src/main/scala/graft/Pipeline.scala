@@ -51,6 +51,14 @@ object Pipeline {
         * stage 1 already caught.
         */
       useSuffixStage: Boolean = false,
+      /** edge-count gate for the exact driver-side union-find CC finish.
+        * The conservative default assumes a 1g spark-submit driver
+        * (ADVICE r3); callers that KNOW their driver heap (e.g. the
+        * cluster bench's --driver-memory 8g) should raise it — a string
+        * edge is ~150-300 B of driver Rows + union-find map, so ~2M edges
+        * per spare GB is safe.
+        */
+      ccDriverFinishMaxEdges: Long = ConnectedComponents.DriverFinishMaxEdges,
       checkpointDir: Option[String] = None)
 
   final case class Result(
@@ -213,7 +221,8 @@ object Pipeline {
       val edges = scoredEdges.unionByName(cascadeEdges)
       ConnectedComponents.assignAll(
         spark, sigs.select("conv_id"), edges,
-        checkpointDir = cfg.checkpointDir.map(_ + "/cc"))
+        checkpointDir = cfg.checkpointDir.map(_ + "/cc"),
+        driverFinishMaxEdges = cfg.ccDriverFinishMaxEdges)
     }
 
     Result(sigs, pairs, scored, refined, clusters, tierStats, rules.length)

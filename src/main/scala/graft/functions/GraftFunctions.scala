@@ -73,12 +73,23 @@ object GraftFunctions {
   /** Word n-grams of a token array as space-joined strings
     * (reference builds bigrams via list_zip of shifted slices,
     * post_linkage/identify_distinguishing_tokens.py:164-191).
+    *
+    * Implemented as zip_with over n shifted slices — NOT a transform whose
+    * lambda slices `toks` by index: a lambda body referencing a non-
+    * attribute input re-inlines and re-evaluates it once PER ELEMENT (no
+    * CSE through HOF lambdas), so when callers pass the full
+    * tokenise-regex chain the old form cost ~50 evaluations of two
+    * regexp_replaces per row — measured 13.5 s of q17's 31 s at sf0.1.
+    * zip_with's slice inputs are ordinary child expressions, evaluated
+    * once per row, and its lambda touches only element attributes.
     */
   def wordNgrams(toks: Column, n: Int): Column = {
     val sz = size(toks)
-    when(sz < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), sz - n), i => array_join(slice(toks, i + 1, lit(n)), " "))
-    )
+    val m = sz - (n - 1)
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
+    when(sz < n, array().cast("array<string>")).otherwise(joined)
   }
 
   /** Character n-grams of a string (reference trigram stage:
