@@ -93,20 +93,32 @@ object ClusterScalingBench {
     // embarrassingly parallel. Separating it from the attach-join variant
     // above attributes any composed-job scaling shortfall to shuffle at
     // test scale rather than to the scoring operator.
-    val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
-      .repartition(cores * 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fat.count()
-    val pureSecs = (1 to 2).map { _ =>
-      val s0 = System.nanoTime()
-      graft.score.Scoring.scoreDefault(fat, 1e-6)
-        .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
-      (System.nanoTime() - s0) / 1e9
-    }
-    val pureSec = pureSecs.min
-    fat.unpersist()
+    // Fat pairs are BIG (two turn_texts arrays + two TF hist maps per row):
+    // partition cores*8 so per-task deserialized batches stay small on the
+    // N-config's 2x8g executors (cores*2 OOM'd them at 477k pairs), and
+    // never let a kernel-section failure eat the composed-run JSON.
+    val pureSecs =
+      try {
+        val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
+          .repartition(cores * 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fat.count()
+        val secs = (1 to 2).map { _ =>
+          val s0 = System.nanoTime()
+          graft.score.Scoring.scoreDefault(fat, 1e-6)
+            .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
+          (System.nanoTime() - s0) / 1e9
+        }
+        fat.unpersist()
+        secs
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[cluster-bench] pure-kernel section failed: ${e.getMessage}")
+          Seq(-1.0)
+      }
+    val pureSec = if (pureSecs.exists(_ > 0)) pureSecs.filter(_ > 0).min else -1.0
     println(
-      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${nPairs / pureSec}%.1f}""")
+      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f}""")
     spark.stop()
   }
 }
