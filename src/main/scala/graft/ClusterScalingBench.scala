@@ -55,20 +55,26 @@ object ClusterScalingBench {
     val cores = "local-cluster\\[(\\d+),\\s*(\\d+)".r.findFirstMatchIn(master)
       .map(m => m.group(1).toInt * m.group(2).toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions", (cores * 2).toString)
+    // shuffle partitions scale with INPUT, floored at 2x cores: a fixed
+    // cores*2 put 125k conversations (1-2 GB of collect_list state) in one
+    // reducer partition at 2M convs and OOM'd the 8g executors; ~10k convs
+    // per partition bounds reducer state at any size, and AQE coalesces
+    // the small stages back down. Same rule a real 100-TB job uses.
+    val shufflePartitions = math.max(cores * 2, (nConvIds / 10000L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     val cpu = new CpuListener
     spark.sparkContext.addSparkListener(cpu)
 
     val turns = graft.ingest.TranscriptGen.turnsDF(spark, nConvIds)
-      .repartition(cores).cache()
+      .repartition(math.max(cores, (nConvIds / 20000L).toInt)).cache()
     val nTurns = turns.count()
     val cpu0 = cpu.cpuNs.get() // exclude input generation
     val t0 = System.nanoTime()
     // this bench submits with --driver-memory 8g, so the exact driver-side
     // CC finish is safe well beyond the conservative 1g-driver default gate
-    // (Pipeline.Config doc); 2M edges ~ a few hundred MB of driver heap
+    // (Pipeline.Config doc); 5M edges ~ 1 GB of driver heap
     val res = Pipeline.run(spark, turns,
-      Pipeline.Config(ccDriverFinishMaxEdges = 2000000L))
+      Pipeline.Config(ccDriverFinishMaxEdges = 5000000L))
     val nPairs = res.pairs.count()
     res.refined.count()
     res.clusters.select("cluster_id").distinct().count()
@@ -99,8 +105,11 @@ object ClusterScalingBench {
     // never let a kernel-section failure eat the composed-run JSON.
     val pureSecs =
       try {
+        // partitions scale with PAIR COUNT (a fat pair row is ~10-30 KB, so
+        // ~5k pairs/partition keeps deserialized batches well under task
+        // memory at any input size), floored at cores*8 for parallelism
         val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
-          .repartition(cores * 8)
+          .repartition(math.max(cores * 8, (nPairs / 5000L).toInt))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fat.count()
         val secs = (1 to 2).map { _ =>
