@@ -21,8 +21,14 @@ def family(t):
     if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "int"
-    if s in ("FLOAT", "DOUBLE"):
-        return "float"
+    # FLOAT and DOUBLE are DISTINCT families: the driver's arrow-level hash
+    # is plausibly width-sensitive between float32 and float64 just as it is
+    # between int and decimal (ADVICE r4). The repo bans emitted doubles in
+    # the oracle surface anyway, so neither should appear on a passing query.
+    if s == "FLOAT":
+        return "float32"
+    if s == "DOUBLE":
+        return "float64"
     return s
 
 def canon(rows):

@@ -62,8 +62,13 @@ object Bench {
     // unaffected and "failed" stays []). Quiet that logger so the driver
     // tail is clean JSON (VERDICT r3 #8) — real per-query failures are
     // detected and reported by the bench itself, not scraped from logs.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
+    // Env-gated (ADVICE r4): silencing the whole logger also hides any REAL
+    // scheduler-level ERROR that doesn't surface as a per-query exception,
+    // so SPARK_GRAFT_QUIET_DAG=0 restores full DAGScheduler logging for
+    // debugging runs.
+    if (sys.env.getOrElse("SPARK_GRAFT_QUIET_DAG", "1") != "0")
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
 
     // q19 is the intentionally-quadratic exact-parity baseline whose scale
     // path is q19b; it stays in the sf0.01 oracle gate but is skipped at
@@ -76,14 +81,30 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: skipping ${skip.toSeq.sorted.mkString(", ")} — " +
           s""""total" is NOT comparable with rounds that ran them (see "skipped")""")
+    // Per-query steal protection (VERDICT r4 #3): the ER pipeline reps were
+    // probe-bracketed since r4, but the oracle queries ran single-shot, so a
+    // steal window made q19b/q29 read 3-5x their quiet cost at the driver.
+    // Each query now runs `qReps` times (default 2) with a probe before each
+    // rep; the headline per-query number is the MIN over successful reps and
+    // every rep + probe lands in the JSON ("query_runs"/"query_probes_ms")
+    // so the filtering is auditable. Min (not median) is right here: these
+    // are short deterministic jobs where every overshoot is scheduler noise
+    // or steal, and min-of-2 is the cross-round-comparable stat.
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "2").toInt.max(1)
     val results = SparkEntry.allDefs.filterNot(d => skip(d.name)).map { d =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { d.fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}"); false
-        }
-      (d.name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val reps = (1 to qReps).map { _ =>
+        val probe = probeMs()
+        val t0 = System.nanoTime()
+        val ok =
+          try { d.fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}"); false
+          }
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, probe)
+      }
+      val okTimes = reps.map(_._1).filter(_ >= 0)
+      (d.name, if (okTimes.nonEmpty) okTimes.min else -1.0,
+        okTimes.nonEmpty, reps.map(_._1), reps.map(_._2))
     }
     val failed = results.filterNot(_._3).map(_._1)
 
@@ -136,6 +157,12 @@ object Bench {
 
     val all = results.map(r => r._1 -> r._2) :+ ("er_pipeline" -> pipeSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val qRuns = results.map { r =>
+      "\"" + r._1 + "\":" + r._4.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qProbes = results.map { r =>
+      "\"" + r._1 + "\":" + r._5.map(p => f"$p%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val runsJson = samples.map(s => f"${s._2}%.3f").mkString("[", ",", "]")
     val scoreRunsJson = samples.map(s => f"${s._3}%.3f").mkString("[", ",", "]")
     val probesJson = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
@@ -143,7 +170,7 @@ object Bench {
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pairs_scored_per_sec_best":$pairsPerSecBest%.1f,"er_pipeline_runs":$runsJson,"er_pipeline_min":$pipeMin%.3f,"er_score_runs":$scoreRunsJson,"probe_ms":$probesJson,"reps_attempted":$attempt,"reps_clean":${clean0.size},"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$qReps,"query_runs":$qRuns,"query_probes_ms":$qProbes,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pairs_scored_per_sec_best":$pairsPerSecBest%.1f,"er_pipeline_runs":$runsJson,"er_pipeline_min":$pipeMin%.3f,"er_score_runs":$scoreRunsJson,"probe_ms":$probesJson,"reps_attempted":$attempt,"reps_clean":${clean0.size},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -31,6 +31,23 @@ object ClusterScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nConvIds = args.headOption.map(_.toLong).getOrElse(100000L)
+    // DISK GUARD (VERDICT r4 #2): the round-4 2M-conv run died on "No space
+    // left on device" after shuffle spill filled the root disk. Fail fast
+    // with a clear message when scratch headroom is below the floor, and log
+    // the measured headroom in every run so the guard is auditable.
+    val scratch = new java.io.File(
+      sys.props.get("spark.local.dir").orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+        .getOrElse("/tmp"))
+    val freeGb = scratch.getUsableSpace / (1024.0 * 1024 * 1024)
+    val minFreeGb = sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "40").toDouble
+    println(f"[cluster-bench] disk guard: ${scratch.getPath} free=$freeGb%.1f GiB (floor $minFreeGb%.0f GiB)")
+    if (freeGb < minFreeGb) {
+      System.err.println(
+        f"[cluster-bench] ABORT: only $freeGb%.1f GiB free on ${scratch.getPath} " +
+          f"(< $minFreeGb%.0f GiB floor) — clean /opt/spark/work and spark scratch dirs " +
+          "before launching, or lower SPARK_GRAFT_MIN_FREE_GB")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .appName("graft-cluster-scaling")
       .config("spark.sql.adaptive.enabled", "true")
@@ -103,28 +120,33 @@ object ClusterScalingBench {
     // partition cores*8 so per-task deserialized batches stay small on the
     // N-config's 2x8g executors (cores*2 OOM'd them at 477k pairs), and
     // never let a kernel-section failure eat the composed-run JSON.
-    val pureSecs =
+    val pureSecs = {
+      // partitions scale with PAIR COUNT (a fat pair row is ~10-30 KB, so
+      // ~5k pairs/partition keeps deserialized batches well under task
+      // memory at any input size), floored at cores*8 for parallelism
+      val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
+        .repartition(math.max(cores * 8, (nPairs / 5000L).toInt))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // partitions scale with PAIR COUNT (a fat pair row is ~10-30 KB, so
-        // ~5k pairs/partition keeps deserialized batches well under task
-        // memory at any input size), floored at cores*8 for parallelism
-        val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
-          .repartition(math.max(cores * 8, (nPairs / 5000L).toInt))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fat.count()
-        val secs = (1 to 2).map { _ =>
+        (1 to 2).map { _ =>
           val s0 = System.nanoTime()
           graft.score.Scoring.scoreDefault(fat, 1e-6)
             .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
           (System.nanoTime() - s0) / 1e9
         }
-        fat.unpersist()
-        secs
       } catch {
         case e: Throwable =>
-          System.err.println(s"[cluster-bench] pure-kernel section failed: ${e.getMessage}")
+          // full toString + trimmed stack (not just getMessage — ADVICE r4:
+          // novel failures were losing their stack), and the finally below
+          // guarantees the MEMORY_AND_DISK frame is never left pinned
+          System.err.println(s"[cluster-bench] pure-kernel section failed: $e")
+          e.getStackTrace.take(12).foreach(f => System.err.println(s"    at $f"))
           Seq(-1.0)
+      } finally {
+        fat.unpersist()
       }
+    }
     val pureSec = if (pureSecs.exists(_ > 0)) pureSecs.filter(_ > 0).min else -1.0
     println(
       f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f}""")

@@ -37,8 +37,12 @@ object StageBench {
       val t0 = System.nanoTime()
       val s0 = stageCounter.get()
       val r = f
+      // capture wall BEFORE the listener drain: the sleep exists only so the
+      // stage COUNT is honest, and must not inflate the reported seconds
+      // (ADVICE r4 — a 1 s section read as 1.3 s)
+      val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain so the count is honest
-      println(f"[stage] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+      println(f"[stage] $name%-14s $sec%8.2fs  " +
         f"spark_stages=${stageCounter.get() - s0}%3d")
       r
     }

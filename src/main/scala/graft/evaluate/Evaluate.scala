@@ -49,8 +49,14 @@ object Evaluate {
     val byReason = annotated
       .groupBy(coalesce(col("match_reason"), lit("unmatched")).as("match_reason"))
       .agg(count(lit(1)).as("match_count"))
-    byReason.withColumn("pct",
-      round(col("match_count") * 100.0 / sum(col("match_count")).over(Window.partitionBy()), 2))
+    // grand total as a broadcast 1-row scalar, NOT an unpartitioned window
+    // (VERDICT r4 #4): sum().over(Window.partitionBy()) serialises the whole
+    // frame through one WindowExec partition; the broadcast nested-loop join
+    // matches the pipeline TF-total pattern and keeps the plan parallel.
+    val total = byReason.agg(sum(col("match_count")).as("__total"))
+    byReason.crossJoin(broadcast(total))
+      .withColumn("pct", round(col("match_count") * 100.0 / col("__total"), 2))
+      .drop("__total")
       .orderBy(col("match_count").desc, col("match_reason"))
   }
 

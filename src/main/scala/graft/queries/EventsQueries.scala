@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,6 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object EventsQueries {
   import Tables.load
+
+  /** Guarded decimal→BIGINT cents cast for event-value sums — the two
+    * aggregation sites below are the repo's only integer-scaled aggregates
+    * over a NEGATIVE-capable input (event `value` can be a refund). The
+    * decimal-cents pattern is sign-safe where the (2a+b) div (2b) half-up
+    * identity is NOT (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they disagree on negatives, Evaluate.scala precondition note);
+    * casting is engine-portable ONLY while the scaled decimal is an exact
+    * integer (Spark's decimal→long cast truncates toward zero, DuckDB's
+    * rounds half-even — they agree exactly on integers, for either sign).
+    * This guard enforces that invariant at runtime instead of assuming it
+    * (VERDICT r4 #7): a non-integer cent total raises instead of silently
+    * diverging between engines.
+    */
+  private def exactCents(dec: Column): Column =
+    when(dec.isNotNull && dec =!= dec.cast("long").cast("decimal(38,2)"),
+      raise_error(concat(
+        lit("exactCents: non-integer cent total (engine-portable cast needs an exact integer): "),
+        dec.cast("string"))))
+      .otherwise(dec.cast("long"))
 
   val defs: Seq[QueryDef] = Seq(
     // --- q24: sessionization, 30-minute inactivity gap.
@@ -31,7 +52,7 @@ object EventsQueries {
         // (float math) — the residual CORRECTNESS_r02 q24 hash red.
         withSession.groupBy(col("user_id"), col("session_seq"))
           .agg(count(lit(1)).as("n_events"),
-            (sum(col("value").cast("decimal(20,2)")) * 100).cast("long").as("session_value_c"),
+            exactCents(sum(col("value").cast("decimal(20,2)")) * 100).as("session_value_c"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       },
       Some("""
@@ -64,7 +85,7 @@ object EventsQueries {
         e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"))
           .agg(count(lit(1)).as("n"),
-            (sum(col("value").cast("decimal(20,2)")) * 100).cast("long").as("total_value_c"),
+            exactCents(sum(col("value").cast("decimal(20,2)")) * 100).as("total_value_c"),
             countDistinct(col("user_id")).as("n_users"))
       },
       Some("""

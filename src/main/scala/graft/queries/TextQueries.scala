@@ -76,23 +76,30 @@ object TextQueries {
       "q13_tf_table",
       (s, dir) => {
         val d = load(s, dir, "documents")
-        // rel_freq emitted integer-scaled at 1e10 via the shared half-up
+        // rel_freq emitted integer-scaled at 1e8 via the shared half-up
         // identity (2a+b) div (2b) — never a rounded DOUBLE (r2 ulp class).
-        // Overflow-safe: cnt ≤ ~1e6 tokens at sf0.1, 2·cnt·1e10 ≤ 2e16 < 2^63.
+        // e8 (not e10) so 2·cnt·1e8 stays under 2^63 up to cnt ~4.6e10 —
+        // no practical sf ceiling (ADVICE r4: e10 overflowed at cnt ~4.6e8).
         val counted = d.select(explode(docToks(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        // corpus total as a broadcast 1-row scalar, NOT an unpartitioned
+        // window (VERDICT r4 #4): sum().over(Window.partitionBy()) funnels
+        // the whole vocab through one WindowExec partition; the broadcast
+        // nested-loop join keeps the plan parallel (same pattern as the
+        // pipeline TF total, PLANS.md).
+        val total = counted.agg(sum(col("cnt")).as("total"))
         counted
-          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-          .withColumn("rel_freq_e10", expr("(2 * cnt * 10000000000 + total) div (2 * total)"))
+          .crossJoin(broadcast(total))
+          .withColumn("rel_freq_e8", expr("(2 * cnt * 100000000 + total) div (2 * total)"))
           .filter(col("cnt") >= 3)
-          .select(col("token"), col("cnt"), col("rel_freq_e10"))
+          .select(col("token"), col("cnt"), col("rel_freq_e8"))
       },
       Some(s"""
         WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
         counted AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
-        tot AS (SELECT token, cnt, sum(cnt) OVER () AS total FROM counted)
+        tot AS (SELECT token, cnt, (SELECT sum(cnt) FROM counted) AS total FROM counted)
         SELECT token, cnt,
-               CAST((2 * cnt * 10000000000 + total) // (2 * total) AS BIGINT) AS rel_freq_e10
+               CAST((2 * cnt * 100000000 + total) // (2 * total) AS BIGINT) AS rel_freq_e8
         FROM tot WHERE cnt >= 3
       """)
     ),
