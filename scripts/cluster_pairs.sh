@@ -1,7 +1,13 @@
 #!/bin/bash
-# N (2 executors x 4 cores) vs 4N (8 executors x 4 cores) scaling pairs via
+# N (2 executors x 2 cores) vs 4N (8 executors x 2 cores) scaling pairs via
 # spark-submit in local-cluster mode — REAL executor JVMs, the sandbox's
 # closest analogue of BASELINE.json's "N and 4N executors" criterion.
+#
+# The pair scales EXECUTOR COUNT at fixed 2 cores/executor (4 -> 16 task
+# threads) so BOTH legs leave host headroom on the shared 32-core box: the
+# retired 2x4-vs-8x4 pair ran 32 task threads at 4N and measured 3.1x
+# executor-CPU stall inflation + 25% run-to-run CPU disagreement — it
+# measured the host, not the engine (BENCH/BASELINE.md round 5).
 #
 # Round-5 hardening (VERDICT r4 #1/#2):
 #   * spark.executor.memory=7g — local-cluster[n,c,MEM] sets only the WORKER
@@ -22,7 +28,7 @@ export SPARK_HOME=/opt/spark
 J=${JAR:-/tmp/graft.jar}
 N=${1:-1000000}
 P=${2:-2}
-OUT=${3:-bench/cluster_r5}
+OUT=${3:-bench/cluster_r5b}
 SCRATCH=${SPARK_LOCAL_DIR:-/tmp/graft_scratch}
 mkdir -p "$OUT" "$SCRATCH"
 
@@ -47,7 +53,7 @@ run() { # run <tag> <master>
 }
 
 for i in $(seq 1 "$P"); do
-  run "N_${N}_run${i}" 'local-cluster[2,4,8192]'
-  run "4N_${N}_run${i}" 'local-cluster[8,4,8192]'
+  run "N_${N}_run${i}" 'local-cluster[2,2,8192]'
+  run "4N_${N}_run${i}" 'local-cluster[8,2,8192]'
 done
 echo "[pair] all done -> $OUT"

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Aggregate a directory of ClusterScalingBench JSONs into the N-vs-4N
+scaling table (BENCH/BASELINE.md).
+
+Usage: scripts/scaling_report.py bench/cluster_r5b
+
+Files are named {N|4N}_<convs>_run<i>.json by scripts/cluster_pairs.sh.
+Efficiency is computed best-of-reps per leg (min wall / max throughput),
+matching the bench convention everywhere else in the repo: on a steal-prone
+shared host the best rep is the least-contaminated one, and the per-run
+probe_ms arrays are printed so that choice is auditable.
+"""
+import json
+import glob
+import os
+import sys
+
+
+def load(d):
+    legs = {"N": [], "4N": []}
+    for p in sorted(glob.glob(os.path.join(d, "*.json"))):
+        tag = os.path.basename(p).split("_")[0]
+        if tag not in legs:
+            continue
+        with open(p) as f:
+            legs[tag].append((os.path.basename(p), json.load(f)))
+    return legs
+
+
+def main():
+    d = sys.argv[1] if len(sys.argv) > 1 else "bench/cluster_r5b"
+    legs = load(d)
+    if not legs["N"] or not legs["4N"]:
+        sys.exit(f"need both N_* and 4N_* JSONs in {d}")
+
+    for tag in ("N", "4N"):
+        for name, j in legs[tag]:
+            probes = j.get("probe_ms", [])
+            steal = (max(probes) / min(probes)) if probes else float("nan")
+            print(
+                f"{name}: master={j['master']} wall={j['wall_sec']:.1f}s "
+                f"cpu={j['cpu_sec']:.0f}s busy={j['busy_cores']:.2f} "
+                f"sections p/r/c={j.get('sec_pairs', -1):.0f}/"
+                f"{j.get('sec_refined', -1):.0f}/{j.get('sec_clusters', -1):.0f}s "
+                f"kernel={j['pairs_scored_per_sec']:.0f} "
+                f"pure={j['pure_pairs_scored_per_sec']:.0f} pairs/s "
+                f"probes={probes} (worst/best {steal:.2f}x)"
+            )
+
+    def best(tag, key, lo=False):
+        vals = [j[key] for _, j in legs[tag] if j.get(key, -1) > 0]
+        return (min if lo else max)(vals) if vals else float("nan")
+
+    cores_n = legs["N"][0][1]["total_cores"]
+    cores_4n = legs["4N"][0][1]["total_cores"]
+    scale = cores_4n / cores_n
+
+    print(f"\n== best-of-reps, {cores_n} -> {cores_4n} cores ({scale:.0f}x) ==")
+    rows = [
+        ("composed wall (s, lower better)", "wall_sec", True),
+        ("scoring kernel (pairs/s)", "pairs_scored_per_sec", False),
+        ("PURE scoring kernel (pairs/s)", "pure_pairs_scored_per_sec", False),
+        ("executor CPU same work (s)", "cpu_sec", True),
+    ]
+    for label, key, lower in rows:
+        n, x = best("N", key, lo=lower), best("4N", key, lo=lower)
+        if lower:
+            eff = n / x / scale if key == "wall_sec" else x / n
+            note = f"efficiency {eff:.3f}" if key == "wall_sec" else f"{eff:.2f}x inflation"
+        else:
+            eff = x / (n * scale)
+            note = f"efficiency {eff:.3f}" + (
+                " — clears the >=0.8 gate" if eff >= 0.8 else " (< 0.8 gate)"
+            )
+        print(f"{label:35s} N={n:>10.1f}  4N={x:>10.1f}  {note}")
+
+    for tag, cores in (("N", cores_n), ("4N", cores_4n)):
+        walls = [j["wall_sec"] for _, j in legs[tag]]
+        cpus = [j["cpu_sec"] for _, j in legs[tag]]
+        occ = min(cpus) / min(walls) / cores
+        print(f"{tag} busy-core occupancy (best reps): {occ:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,22 @@ object ClusterScalingBench {
       .repartition(math.max(cores, (nConvIds / 20000L).toInt)).cache()
     val nTurns = turns.count()
     val cpu0 = cpu.cpuNs.get() // exclude input generation
+
+    // Steal probes bracket every timed section (same xorshift workload and
+    // rationale as graft.Bench): on this shared host, identical sections
+    // have measured 3-10x apart minutes later, so a leg whose probes blow
+    // past ~1.5x the quiet floor is not comparable evidence. All probes
+    // land in the JSON for audit.
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    def probe(): Unit = probes += Bench.probeMs()
+
+    // Per-section walls (VERDICT r4: attribute composed-scaling shortfall):
+    // Pipeline.run stages via LAZY localCheckpoints, so each count below
+    // materialises exactly the new stages and reuses the earlier ones.
+    //   sec_pairs    = signatures + cascade + blocking join
+    //   sec_refined  = feature-attach + Fellegi-Sunter score + refine pass
+    //   sec_clusters = large-star/small-star connected components
+    probe()
     val t0 = System.nanoTime()
     // this bench submits with --driver-memory 8g, so the exact driver-side
     // CC finish is safe well beyond the conservative 1g-driver default gate
@@ -93,8 +109,16 @@ object ClusterScalingBench {
     val res = Pipeline.run(spark, turns,
       Pipeline.Config(ccDriverFinishMaxEdges = 5000000L))
     val nPairs = res.pairs.count()
+    val secPairs = (System.nanoTime() - t0) / 1e9
+    probe()
+    val t1 = System.nanoTime()
     res.refined.count()
+    val secRefined = (System.nanoTime() - t1) / 1e9
+    probe()
+    val t2 = System.nanoTime()
     res.clusters.select("cluster_id").distinct().count()
+    val secClusters = (System.nanoTime() - t2) / 1e9
+    probe()
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuSec = (cpu.cpuNs.get() - cpu0) / 1e9
 
@@ -104,6 +128,7 @@ object ClusterScalingBench {
     // bound kernel that dominates at the 10^12-turn target). 2 reps, best
     // kept (first rep includes per-JVM codegen compilation).
     val scoreSecs = (1 to 2).map { _ =>
+      probe()
       val s0 = System.nanoTime()
       Pipeline.scorePairs(res.signatures, res.signatures, res.pairs, 1e-6)
         .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
@@ -130,6 +155,7 @@ object ClusterScalingBench {
       try {
         fat.count()
         (1 to 2).map { _ =>
+          probe()
           val s0 = System.nanoTime()
           graft.score.Scoring.scoreDefault(fat, 1e-6)
             .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
@@ -148,8 +174,10 @@ object ClusterScalingBench {
       }
     }
     val pureSec = if (pureSecs.exists(_ > 0)) pureSecs.filter(_ > 0).min else -1.0
+    probe()
+    val probesJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     println(
-      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f}""")
+      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"sec_pairs":$secPairs%.2f,"sec_refined":$secRefined%.2f,"sec_clusters":$secClusters%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f,"probe_ms":$probesJson}""")
     spark.stop()
   }
 }
