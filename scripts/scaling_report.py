@@ -80,6 +80,28 @@ def main():
         occ = min(cpus) / min(walls) / cores
         print(f"{tag} busy-core occupancy (best reps): {occ:.2f}")
 
+    # Host-normalised composed efficiency: the shared-socket confound shows
+    # up as executor-CPU inflation for IDENTICAL work (thread CPU time
+    # includes memory-stall cycles). Re-price the 4N leg's wall at the N
+    # leg's CPU cost and the 4N leg's own achieved occupancy — i.e. what the
+    # same engine-level parallelism would deliver on hardware where adding
+    # executors does not steal bandwidth from existing ones (a real
+    # multi-node cluster). Printed alongside the raw number, never instead
+    # of it.
+    wall_n = best("N", "wall_sec", lo=True)
+    wall_4n = best("4N", "wall_sec", lo=True)
+    cpu_n = best("N", "cpu_sec", lo=True)
+    cpu_4n = best("4N", "cpu_sec", lo=True)
+    busy_4n = cpu_4n / wall_4n
+    wall_4n_norm = cpu_n / busy_4n
+    print(
+        f"composed raw {wall_n / wall_4n / scale:.3f}; CPU-normalised "
+        f"{wall_n / wall_4n_norm / scale:.3f} "
+        f"(4N wall re-priced at N CPU cost {cpu_n:.0f}s over 4N busy-cores "
+        f"{busy_4n:.2f} = {wall_4n_norm:.0f}s; raw 4N CPU {cpu_4n:.0f}s = "
+        f"{cpu_4n / cpu_n:.2f}x stall inflation)"
+    )
+
 
 if __name__ == "__main__":
     main()
