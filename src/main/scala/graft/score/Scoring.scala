@@ -130,8 +130,15 @@ object Scoring {
   /** Default model over the signature-pair columns produced by
     * Blocking.candidatePairs* with carryCols from Signatures.signatures +
     * attachTf.
+    *
+    * @param meanJw the mean-turn-JW column the turn_jw cascade thresholds
+    *   read. The default re-derives the full 3-alignment JW sweep inline;
+    *   scoreDefault passes a pre-projected column instead — CASE WHEN
+    *   branch conditions are conditionally evaluated, so codegen
+    *   subexpression elimination cannot share the sweep across the three
+    *   threshold tests and the inline form pays it up to 3x per pair.
     */
-  def defaultModel(prior: Double = 1e-6): ScoreModel = {
+  def defaultModel(prior: Double = 1e-6, meanJw: Column = meanTurnJw): ScoreModel = {
     def c(n: String) = col(n + "_l") -> col(n + "_r")
 
     val exactText = Comparison("sig_text",
@@ -234,9 +241,9 @@ object Scoring {
       Seq(
         ComparisonLevel("null", col("turn_texts_l").isNull || col("turn_texts_r").isNull ||
           size(col("turn_texts_l")) === 0 || size(col("turn_texts_r")) === 0, 1.0),
-        ComparisonLevel("high", meanTurnJw >= 0.95, math.pow(2, 8)),
-        ComparisonLevel("mid", meanTurnJw >= 0.85, math.pow(2, 5)),
-        ComparisonLevel("low", meanTurnJw >= 0.7, math.pow(2, 1))),
+        ComparisonLevel("high", meanJw >= 0.95, math.pow(2, 8)),
+        ComparisonLevel("mid", meanJw >= 0.85, math.pow(2, 5)),
+        ComparisonLevel("low", meanJw >= 0.7, math.pow(2, 1))),
       elseBf = math.pow(2, -5))
 
     ScoreModel(prior, Seq(exactText, salient1, salient3, numeric1, numeric2,
@@ -278,7 +285,15 @@ object Scoring {
     * when hist maps are present.
     */
   def scoreDefault(pairs: DataFrame, prior: Double = 1e-6, useTfProduct: Boolean = true): DataFrame = {
-    val base = score(pairs, defaultModel(prior))
+    // Project the 3-alignment JW sweep ONCE per pair. As its own non-cheap
+    // alias referenced 3x downstream, CollapseProject keeps the projection
+    // separate, guaranteeing single evaluation; inline it was evaluated per
+    // cascade threshold (conditional branches defeat subexpression
+    // elimination) — measured as the dominant kernel cost. Value-identical:
+    // same expression, same inputs, same doubles.
+    val withJw = pairs.withColumn("__mean_turn_jw", meanTurnJw)
+    val base = score(withJw, defaultModel(prior, meanJw = col("__mean_turn_jw")))
+      .drop("__mean_turn_jw")
     if (!useTfProduct) base
     else {
       val prod = tfProduct(col("token_freq_hist_l"), col("token_freq_hist_r"))

@@ -58,7 +58,11 @@ object Signatures {
     // cleaning/steps/tokenisation.py:22-36) — document-order, so filler
     // text cannot displace them the way it can displace rarity-ranked
     // salient tokens
-    val numericToks = filter(col("tokens"), t => t.rlike("^[0-9]+$"))
+    // all-digits test as a translate-to-empty check, not a regex: tokens
+    // are nonempty (split of trimmed single-spaced text), so "strip digits,
+    // nothing left" == rlike("^[0-9]+$") at none of the per-token regex cost
+    val numericToks = filter(col("tokens"),
+      t => length(translate(t, "0123456789", "")) === 0)
     val base = withText
       .withColumn("numeric_token_1", try_element_at(numericToks, lit(1)))
       .withColumn("numeric_token_2", try_element_at(numericToks, lit(2)))
