@@ -95,18 +95,8 @@ object DistinguishingTokens {
     // the fold form was an interpreted O(distinct^2) giant-array HOF that
     // dominated refine wall and anti-scaled with cores
     // (identify_distinguishing_tokens.py:130-201).
-    //
-    // Pool elements are RESTRICTED at explode time to keys of the messy
-    // record (`keep`): every downstream lookup key lies within tokens_r /
-    // bigrams_r — overlap_* and *_elsewhere are intersections with them,
-    // and a bigram's unigrams are adjacent tokens of bigrams_r — so counts
-    // for surviving keys are unchanged and dropped keys are never read,
-    // while the pool shuffle shrinks to the overlap and every GetMapValue
-    // linear scan drops from pool-size to record-size (refine was 71 s at
-    // 250k convs with full-pool maps, dominated by interpreted map scans).
-    def poolHist(elems: Column, keep: Column, out: String): DataFrame = tokenised
-      .select(col("conv_id_r"),
-        explode(filter(elems, e => array_contains(keep, e))).as("e"))
+    def poolHist(elems: Column, out: String): DataFrame = tokenised
+      .select(col("conv_id_r"), explode(elems).as("e"))
       .groupBy(col("conv_id_r"), col("e"))
       .agg(count(lit(1)).cast("int").as("cnt"))
       .groupBy(col("conv_id_r"))
@@ -126,21 +116,21 @@ object DistinguishingTokens {
     val blockAgg = tokenised
       .groupBy(col("conv_id_r"))
       .agg(first(col("tokens_r")).as("g_tokens_r"))
-      .join(poolHist(col("tokens_l"), col("tokens_r"), "hist_all_tokens_in_block_l"),
+      .join(poolHist(col("tokens_l"), "hist_all_tokens_in_block_l"),
         Seq("conv_id_r"), "left")
-      .join(poolHist(wordNgrams(col("tokens_l"), 2), wordNgrams(col("tokens_r"), 2),
-        "hist_all_bigrams_in_block_l"), Seq("conv_id_r"), "left")
+      .join(poolHist(wordNgrams(col("tokens_l"), 2), "hist_all_bigrams_in_block_l"),
+        Seq("conv_id_r"), "left")
       .withColumn("hist_all_tokens_in_block_l",
         coalesce(col("hist_all_tokens_in_block_l"), emptyHist))
       .withColumn("hist_all_bigrams_in_block_l",
         coalesce(col("hist_all_bigrams_in_block_l"), emptyHist))
-      // pool keys (sorted) restricted to the messy record — with the hists
-      // already messy-restricted, that is exactly their key arrays: same
-      // elements, same sorted order as the old
-      // array_intersect(map_keys(full_hist), record_keys)
-      .withColumn("pool_tokens_r", map_keys(col("hist_all_tokens_in_block_l")))
+      // pool keys (sorted) restricted to the messy record — ARRAYS; counts
+      // stay in the hist_all maps (restriction never changes a count)
+      .withColumn("pool_tokens_r",
+        array_intersect(map_keys(col("hist_all_tokens_in_block_l")), col("g_tokens_r")))
       .withColumn("bigrams_r", wordNgrams(col("g_tokens_r"), 2))
-      .withColumn("pool_bigrams_r", map_keys(col("hist_all_bigrams_in_block_l")))
+      .withColumn("pool_bigrams_r",
+        array_intersect(map_keys(col("hist_all_bigrams_in_block_l")), col("bigrams_r")))
       .select("conv_id_r", "hist_all_tokens_in_block_l", "pool_tokens_r",
         "hist_all_bigrams_in_block_l", "pool_bigrams_r", "bigrams_r")
 
