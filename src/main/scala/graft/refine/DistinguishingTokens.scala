@@ -95,14 +95,31 @@ object DistinguishingTokens {
     // the fold form was an interpreted O(distinct^2) giant-array HOF that
     // dominated refine wall and anti-scaled with cores
     // (identify_distinguishing_tokens.py:130-201).
-    def poolHist(elems: Column, out: String): DataFrame = tokenised
-      .select(col("conv_id_r"), explode(elems).as("e"))
-      .groupBy(col("conv_id_r"), col("e"))
+    // Token and bigram pools are counted in ONE pass: the elements are
+    // tagged (kind 0 = token, 1 = bigram) before a single explode, counted
+    // under (conv_id_r, kind, e), and split back into the two maps by a
+    // null-skipping collect_list(when(kind...)) — one explode shuffle +
+    // one pool groupBy chain instead of two of each, and one fewer
+    // recompute of the windowed `tokenised` subtree (the r5 stage-cut;
+    // map contents and entry order are unchanged: same per-kind entries,
+    // same array_sort).
+    val pooled = tokenised
+      .select(col("conv_id_r"), explode(concat(
+        transform(col("tokens_l"), t => struct(lit(0).as("kind"), t.as("e"))),
+        transform(wordNgrams(col("tokens_l"), 2),
+          b => struct(lit(1).as("kind"), b.as("e"))))).as("ke"))
+      .select(col("conv_id_r"), col("ke.kind").as("kind"), col("ke.e").as("e"))
+      .groupBy(col("conv_id_r"), col("kind"), col("e"))
       .agg(count(lit(1)).cast("int").as("cnt"))
       .groupBy(col("conv_id_r"))
       // sort entries so downstream map_values folds are order-deterministic
-      .agg(map_from_entries(array_sort(collect_list(struct(col("e"), col("cnt")))))
-        .as(out))
+      .agg(
+        map_from_entries(array_sort(collect_list(
+          when(col("kind") === 0, struct(col("e"), col("cnt"))))))
+          .as("hist_all_tokens_in_block_l"),
+        map_from_entries(array_sort(collect_list(
+          when(col("kind") === 1, struct(col("e"), col("cnt"))))))
+          .as("hist_all_bigrams_in_block_l"))
     val emptyHist = map_from_arrays(
       array().cast("array<string>"), array().cast("array<int>"))
 
@@ -116,10 +133,7 @@ object DistinguishingTokens {
     val blockAgg = tokenised
       .groupBy(col("conv_id_r"))
       .agg(first(col("tokens_r")).as("g_tokens_r"))
-      .join(poolHist(col("tokens_l"), "hist_all_tokens_in_block_l"),
-        Seq("conv_id_r"), "left")
-      .join(poolHist(wordNgrams(col("tokens_l"), 2), "hist_all_bigrams_in_block_l"),
-        Seq("conv_id_r"), "left")
+      .join(pooled, Seq("conv_id_r"), "left")
       .withColumn("hist_all_tokens_in_block_l",
         coalesce(col("hist_all_tokens_in_block_l"), emptyHist))
       .withColumn("hist_all_bigrams_in_block_l",
