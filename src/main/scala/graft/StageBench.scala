@@ -93,8 +93,15 @@ object StageBench {
     val edges = scored.filter(col("match_weight") > -6.0).select("conv_id_l", "conv_id_r")
       .unionByName(cascade.select(col("conv_id").as("conv_id_l"),
         col("resolved_canonical_id").as("conv_id_r")))
+    // SPARK_GRAFT_CC_DISTRIBUTED=1 forces the large/small-star iterations
+    // even below the driver-finish gate, so the distributed path's stage
+    // floor is measurable at sizes where the exact driver union-find would
+    // normally take over (VERDICT r4 #5 evidence knob).
+    val ccGate =
+      if (sys.env.get("SPARK_GRAFT_CC_DISTRIBUTED").contains("1")) 0L
+      else graft.resolve.ConnectedComponents.DriverFinishMaxEdges
     val clusters = timed("cc")(mat(graft.resolve.ConnectedComponents.assignAll(
-      spark, sigs.select("conv_id"), edges)))
+      spark, sigs.select("conv_id"), edges, driverFinishMaxEdges = ccGate)))
     println(s"  clusters=${clusters.select("cluster_id").distinct().count()}")
     spark.stop()
   }
