@@ -34,6 +34,13 @@ mkdir -p "$OUT" "$SCRATCH"
 
 run() { # run <tag> <master>
   local tag=$1 master=$2
+  # preserve the PREVIOUS leg's executor stderr before wiping: when a leg
+  # dies, the executor-side evidence is in work/app-*/<id>/stderr and a
+  # blind rm here erased the only diagnostics of the r5 2M failure
+  mkdir -p /tmp/spark_work_prev && rm -rf /tmp/spark_work_prev/*
+  find /opt/spark/work -name 'stderr' -size +0 2>/dev/null | head -20 | while read -r f; do
+    cp "$f" "/tmp/spark_work_prev/$(echo "$f" | tr / _)" 2>/dev/null
+  done
   rm -rf /opt/spark/work/app-* "${SCRATCH:?}"/*
   local free_gb
   free_gb=$(df -BG --output=avail "$SCRATCH" | tail -1 | tr -dc 0-9)
@@ -42,9 +49,25 @@ run() { # run <tag> <master>
     echo "[pair] ABORT: ${free_gb}G free < ${MIN_FREE_GB:-40}G floor — clean scratch first" >&2
     exit 2
   fi
+  # Disk-footprint confs (r5: the 2M N leg wrote >75 GiB of lz4 shuffle +
+  # uncompressed spilled cache blocks into an 80 GiB budget and had to be
+  # killed by the free-space watchdog):
+  #   * zstd shuffle/spill compression — ~1.5x smaller than lz4 on this
+  #     text-heavy shuffle data, identical on both legs so the pair stays
+  #     internally comparable (and is the config a real cluster runs).
+  #   * spark.rdd.compress — cached turn blocks spilled to disk are
+  #     compressed (default false).
+  #   * periodic driver GC every 5 min (default 30) — ContextCleaner can
+  #     only delete retired shuffle files after a driver GC collects their
+  #     references; with an 8g driver heap that never fills, retired
+  #     stages' files (47 GiB at the 2M run's first plateau) linger to
+  #     overlap the next stage's writes.
   /opt/spark/bin/spark-submit --master "$master" --driver-memory 8g \
     --conf spark.executor.memory=7g \
     --conf spark.local.dir="$SCRATCH" \
+    --conf spark.io.compression.codec=zstd \
+    --conf spark.rdd.compress=true \
+    --conf spark.cleaner.periodicGC.interval=5min \
     --class graft.ClusterScalingBench "$J" "$N" \
     >"/tmp/cluster_${tag}.log" 2>&1
   grep -h '"bench"' "/tmp/cluster_${tag}.log" | tail -1 >"$OUT/${tag}.json"
