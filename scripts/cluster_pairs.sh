@@ -25,6 +25,11 @@
 #   JAR=/tmp/graft.jar MIN_FREE_GB=40 to override.
 set -u
 export SPARK_HOME=/opt/spark
+# one floor, both guards: the in-run guard (ClusterScalingBench) reads
+# SPARK_GRAFT_MIN_FREE_GB — without this export an MIN_FREE_GB override
+# would lower only the shell guard and the driver would still exit(2) at
+# its own 40 GiB default
+export SPARK_GRAFT_MIN_FREE_GB="${MIN_FREE_GB:-40}"
 J=${JAR:-/tmp/graft.jar}
 N=${1:-1000000}
 P=${2:-2}
@@ -71,6 +76,15 @@ run() { # run <tag> <master>
     --class graft.ClusterScalingBench "$J" "$N" \
     >"/tmp/cluster_${tag}.log" 2>&1
   grep -h '"bench"' "/tmp/cluster_${tag}.log" | tail -1 >"$OUT/${tag}.json"
+  # a dead leg (disk guard, OOM, executor crash) produces no bench line:
+  # fail LOUDLY instead of committing a 0-byte JSON and running the next
+  # leg as if nothing happened
+  if [ ! -s "$OUT/${tag}.json" ]; then
+    rm -f "$OUT/${tag}.json"
+    echo "[pair] FAILED leg $tag — no bench JSON in /tmp/cluster_${tag}.log (tail below)" >&2
+    tail -5 "/tmp/cluster_${tag}.log" >&2
+    exit 3
+  fi
   grep -h 'disk guard' "/tmp/cluster_${tag}.log" | tail -1
   cat "$OUT/${tag}.json"
 }

@@ -74,11 +74,16 @@ def main():
             )
         print(f"{label:35s} N={n:>10.1f}  4N={x:>10.1f}  {note}")
 
+    # occupancy and the CPU-normalisation below pair wall and cpu FROM THE
+    # SAME rep (the best-wall one): min(cpu)/min(wall) across different reps
+    # would build a busy-cores figure no actual run achieved
+    def best_rep(tag):
+        return min((j for _, j in legs[tag]), key=lambda j: j["wall_sec"])
+
     for tag, cores in (("N", cores_n), ("4N", cores_4n)):
-        walls = [j["wall_sec"] for _, j in legs[tag]]
-        cpus = [j["cpu_sec"] for _, j in legs[tag]]
-        occ = min(cpus) / min(walls) / cores
-        print(f"{tag} busy-core occupancy (best reps): {occ:.2f}")
+        r = best_rep(tag)
+        occ = r["cpu_sec"] / r["wall_sec"] / cores
+        print(f"{tag} busy-core occupancy (best-wall rep): {occ:.2f}")
 
     # Host-normalised composed efficiency: the shared-socket confound shows
     # up as executor-CPU inflation for IDENTICAL work (thread CPU time
@@ -88,10 +93,9 @@ def main():
     # executors does not steal bandwidth from existing ones (a real
     # multi-node cluster). Printed alongside the raw number, never instead
     # of it.
-    wall_n = best("N", "wall_sec", lo=True)
-    wall_4n = best("4N", "wall_sec", lo=True)
-    cpu_n = best("N", "cpu_sec", lo=True)
-    cpu_4n = best("4N", "cpu_sec", lo=True)
+    rep_n, rep_4n = best_rep("N"), best_rep("4N")
+    wall_n, cpu_n = rep_n["wall_sec"], rep_n["cpu_sec"]
+    wall_4n, cpu_4n = rep_4n["wall_sec"], rep_4n["cpu_sec"]
     busy_4n = cpu_4n / wall_4n
     wall_4n_norm = cpu_n / busy_4n
     print(

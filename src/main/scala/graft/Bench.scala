@@ -173,11 +173,17 @@ object Bench {
     val runsJson = samples.map(s => f"${s._2}%.3f").mkString("[", ",", "]")
     val scoreRunsJson = samples.map(s => f"${s._3}%.3f").mkString("[", ",", "]")
     val probesJson = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
+    // the scalar query_reps is the DEFAULT; queries in extraReps run more
+    // (their query_runs arrays show every rep) — declare them so the
+    // min-of-N semantics are auditable without reading the arrays
+    val repsOverridesJson = extraReps.toSeq.sorted
+      .map { case (k, v) => "\"" + k + s"""\":${v.max(qReps)}""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$qReps,"query_runs":$qRuns,"query_probes_ms":$qProbes,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pairs_scored_per_sec_best":$pairsPerSecBest%.1f,"er_pipeline_runs":$runsJson,"er_pipeline_min":$pipeMin%.3f,"er_score_runs":$scoreRunsJson,"probe_ms":$probesJson,"reps_attempted":$attempt,"reps_clean":${clean0.size},"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$qReps,"query_reps_overrides":$repsOverridesJson,"query_runs":$qRuns,"query_probes_ms":$qProbes,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","er_turns":$nTurns,"er_candidate_pairs":$nPairs,"er_clusters":$nClusters,"er_pairs_scored_per_sec":$pairsPerSec%.1f,"er_pairs_scored_per_sec_best":$pairsPerSecBest%.1f,"er_pipeline_runs":$runsJson,"er_pipeline_min":$pipeMin%.3f,"er_score_runs":$scoreRunsJson,"probe_ms":$probesJson,"reps_attempted":$attempt,"reps_clean":${clean0.size},"cpus":$cpus}""")
     spark.stop()
   }
 }

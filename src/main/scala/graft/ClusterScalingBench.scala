@@ -95,12 +95,21 @@ object ClusterScalingBench {
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
     def probe(): Unit = probes += Bench.probeMs()
 
-    // Per-section walls (VERDICT r4: attribute composed-scaling shortfall):
-    // Pipeline.run stages via LAZY localCheckpoints, so each count below
-    // materialises exactly the new stages and reuses the earlier ones.
-    //   sec_pairs    = signatures + cascade + blocking join
-    //   sec_refined  = feature-attach + Fellegi-Sunter score + refine pass
-    //   sec_clusters = large-star/small-star connected components
+    // Per-section walls (VERDICT r4: attribute composed-scaling shortfall).
+    // IMPORTANT attribution caveat: Pipeline.run stages via LAZY
+    // localCheckpoints, but the CLUSTERS stage runs EAGERLY inside
+    // Pipeline.run — ConnectedComponents.run's convergence signature is a
+    // driver action that transitively forces the scored stage. So the
+    // honest section semantics (also true of every committed campaign
+    // JSON) are:
+    //   sec_pairs    = signatures + cascade + blocking + SCORING + CC
+    //                  (everything except refine — "core")
+    //   sec_refined  = refine pass only
+    //   sec_clusters = a distinct-count over the already-computed
+    //                  assignment (cheap by construction)
+    // The scoring share of sec_pairs is measured independently below
+    // (score_secs, on the materialised pairs); CC's share is bounded by
+    // the driver-finish path (~1-2 s at these sizes).
     probe()
     val t0 = System.nanoTime()
     // this bench submits with --driver-memory 8g, so the exact driver-side
@@ -119,7 +128,11 @@ object ClusterScalingBench {
     res.clusters.select("cluster_id").distinct().count()
     val secClusters = (System.nanoTime() - t2) / 1e9
     probe()
-    val wall = (System.nanoTime() - t0) / 1e9
+    // composed wall = pipeline work only: the two inter-section probes run
+    // inside the t0 window, so summing the sections (rather than reading
+    // the clock here) keeps ~0.35 s of probe work — ~1 s+ under steal —
+    // out of the headline number
+    val wall = secPairs + secRefined + secClusters
     val cpuSec = (cpu.cpuNs.get() - cpu0) / 1e9
 
     // BASELINE.json's scaled throughput IS candidate-pairs-scored/sec: time
@@ -145,34 +158,38 @@ object ClusterScalingBench {
     // partition cores*8 so per-task deserialized batches stay small on the
     // N-config's 2x8g executors (cores*2 OOM'd them at 477k pairs), and
     // never let a kernel-section failure eat the composed-run JSON.
-    val pureSecs = {
-      // partitions scale with PAIR COUNT (a fat pair row is ~10-30 KB, so
-      // ~5k pairs/partition keeps deserialized batches well under task
-      // memory at any input size), floored at cores*8 for parallelism
-      val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
-        .repartition(math.max(cores * 8, (nPairs / 5000L).toInt))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pureSecs =
       try {
-        fat.count()
-        (1 to 2).map { _ =>
-          probe()
-          val s0 = System.nanoTime()
-          graft.score.Scoring.scoreDefault(fat, 1e-6)
-            .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
-          (System.nanoTime() - s0) / 1e9
+        // partitions scale with PAIR COUNT (a fat pair row is ~10-30 KB, so
+        // ~5k pairs/partition keeps deserialized batches well under task
+        // memory at any input size), floored at cores*8 for parallelism.
+        // Built INSIDE the try: DataFrame transformations analyse eagerly,
+        // so a schema-drift failure in attachScoreCols would otherwise
+        // throw before the try and eat the composed-run JSON.
+        val fat = Pipeline.attachScoreCols(res.signatures, res.signatures, res.pairs)
+          .repartition(math.max(cores * 8, (nPairs / 5000L).toInt))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          fat.count()
+          (1 to 2).map { _ =>
+            probe()
+            val s0 = System.nanoTime()
+            graft.score.Scoring.scoreDefault(fat, 1e-6)
+              .agg(org.apache.spark.sql.functions.sum("match_weight")).collect()
+            (System.nanoTime() - s0) / 1e9
+          }
+        } finally {
+          // guarantees the MEMORY_AND_DISK frame is never left pinned
+          fat.unpersist()
         }
       } catch {
         case e: Throwable =>
           // full toString + trimmed stack (not just getMessage — ADVICE r4:
-          // novel failures were losing their stack), and the finally below
-          // guarantees the MEMORY_AND_DISK frame is never left pinned
+          // novel failures were losing their stack)
           System.err.println(s"[cluster-bench] pure-kernel section failed: $e")
           e.getStackTrace.take(12).foreach(f => System.err.println(s"    at $f"))
           Seq(-1.0)
-      } finally {
-        fat.unpersist()
       }
-    }
     val pureSec = if (pureSecs.exists(_ > 0)) pureSecs.filter(_ > 0).min else -1.0
     probe()
     val probesJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")

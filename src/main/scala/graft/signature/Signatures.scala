@@ -58,11 +58,14 @@ object Signatures {
     // cleaning/steps/tokenisation.py:22-36) — document-order, so filler
     // text cannot displace them the way it can displace rarity-ranked
     // salient tokens
-    // all-digits test as a translate-to-empty check, not a regex: tokens
-    // are nonempty (split of trimmed single-spaced text), so "strip digits,
-    // nothing left" == rlike("^[0-9]+$") at none of the per-token regex cost
+    // all-digits test as a translate-to-empty check, not a regex — at none
+    // of the per-token regex cost. The explicit length(t) > 0 guard matches
+    // rlike("^[0-9]+$")'s one-or-more: "" tokens ARE reachable (a
+    // punctuation-only turn normalises to "", concat_ws keeps empty
+    // elements, split emits ""), and without the guard two unrelated
+    // conversations would "match" on numeric_token_1 = ""
     val numericToks = filter(col("tokens"),
-      t => length(translate(t, "0123456789", "")) === 0)
+      t => length(t) > 0 && length(translate(t, "0123456789", "")) === 0)
     val base = withText
       .withColumn("numeric_token_1", try_element_at(numericToks, lit(1)))
       .withColumn("numeric_token_2", try_element_at(numericToks, lit(2)))

@@ -322,4 +322,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     info(f"edge-case mean reward margin = $meanMargin%.2f over ${margins.length} cases")
     assert(meanMargin > 0)
   }
+
+  test("punctuation-only turn does not poison positional numeric tokens") {
+    // a turn whose text normalises to "" leaves an empty element in
+    // turn_texts; concat_ws keeps it, so sig_text gains a leading space and
+    // split emits a "" token. The numeric filter must treat "" as
+    // NON-numeric (rlike("^[0-9]+$") semantics): without the length guard,
+    // numeric_token_1 of every such conversation is "" and two unrelated
+    // conversations "match" on it
+    val turns = Seq(
+      ("p1", 0, "user", "???", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000000000L)),
+      ("p1", 1, "user", "pay 123 now", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000001000L)),
+      ("p2", 0, "user", "...", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000000000L)),
+      ("p2", 1, "user", "refund 987 issued", null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000001000L))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val sigs = Signatures.signatures(turns)
+      .select("conv_id", "numeric_token_1", "numeric_token_2")
+      .as[(String, Option[String], Option[String])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(sigs("p1") === ((Some("123"), None)),
+      s"p1 numeric tokens ${sigs("p1")} — empty token classified as numeric?")
+    assert(sigs("p2") === ((Some("987"), None)))
+  }
 }
