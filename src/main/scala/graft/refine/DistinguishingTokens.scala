@@ -12,6 +12,14 @@ import graft.functions.GraftFunctions._
   *
   * Convention (as in the reference): the _r side is the "messy" record
   * whose candidate group we analyse; the _l side are its candidates.
+  * In SELF-dedup mode (Pipeline.run feeds pairs oriented conv_id_l <
+  * conv_id_r) a record's candidate group as _r therefore contains only
+  * co-blocked partners with SMALLER ids — the adjustment each pair gets is
+  * computed against that id-ordered subset, not the record's full
+  * neighbourhood. This mirrors the reference's one-sided messy-vs-canonical
+  * analysis and keeps refine single-pass; mirroring every pair into both
+  * orientations would double the refine shuffle for a second-order effect
+  * on scores that the F1 gates have never needed.
   *
   * adjustment = REWARD * sum(1/cnt^2 over tokens shared by this l and r)
   *            - PUNISH * |tokens present elsewhere in the block but not in this l|
@@ -74,9 +82,12 @@ object DistinguishingTokens {
     // the full normalisation chain ran per pair and dominated refine CPU.
     // Trailing common end tokens stripped up to twice per side (reference
     // applies its tail filter twice — identify_distinguishing_tokens.py:93-94).
+    // "" entries filtered like Signatures.tokens: sig_text keeps the empty
+    // element a punctuation-only turn leaves behind (a leading space), and
+    // split would emit a "" token into the block pool / overlap rewards
     def fastToks(c: Column): Column =
       when(length(c) === 0, array().cast("array<string>"))
-        .otherwise(split(c, "\\s+"))
+        .otherwise(filter(split(c, "\\s+"), t => length(t) > 0))
     def stripCommonTail(toks: Column): Column =
       if (params.commonEndTokens.isEmpty) toks
       else {

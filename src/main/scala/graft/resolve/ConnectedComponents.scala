@@ -118,6 +118,20 @@ object ConnectedComponents {
       converged = sig == prevSig
       prevSig = sig
       iter += 1
+      // convergence TAIL: star rounds shrink edge counts geometrically, so
+      // a graph far above the driver-finish gate at entry often collapses
+      // below it after a round or two — finishing exactly on the driver
+      // then saves 2-4 more distributed rounds of pure stage latency
+      // (the gate's own rationale). Safe mid-loop: every node incident to
+      // an edge survives every round (members via their (u, m) self-link,
+      // roots via their members' emissions), so union-find over the
+      // contracted edge set yields the same components and min-id roots.
+      // sig._1 is the edge count the convergence signature already paid for.
+      if (!converged && sig._1 <= driverFinishMaxEdges) {
+        val assign = driverUnionFind(spark, e)
+        e.unpersist()
+        return assign
+      }
     }
     if (!converged) {
       // deriving assignments from a non-fixpoint forest can split

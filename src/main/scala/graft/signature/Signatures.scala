@@ -51,9 +51,15 @@ object Signatures {
     val conv = conversations(turns)
     val withText = conv
       .withColumn("sig_text", concat_ws(" ", col("turn_texts")))
+      // "" elements are filtered out of tokens: a punctuation-only turn
+      // normalises to "", concat_ws keeps the empty element, and split
+      // would emit a "" token that then poisons TF/rarity (a rare ""
+      // becomes salient_token_1 of every such conversation and co-blocks
+      // unrelated records). sig_text itself is left byte-identical — it is
+      // the exact-match / length surface, not the token surface.
       .withColumn("tokens",
         when(length(col("sig_text")) === 0, array().cast("array<string>"))
-          .otherwise(split(col("sig_text"), " ")))
+          .otherwise(filter(split(col("sig_text"), " "), t => length(t) > 0)))
     // positional numeric tokens (reference: numeric_token_1..3,
     // cleaning/steps/tokenisation.py:22-36) — document-order, so filler
     // text cannot displace them the way it can displace rarity-ranked
@@ -71,7 +77,6 @@ object Signatures {
       .withColumn("numeric_token_2", try_element_at(numericToks, lit(2)))
       .withColumn("numeric_token_3", try_element_at(numericToks, lit(3)))
       .withColumn("len_band", floor(log2(greatest(length(col("sig_text")), lit(1)))).cast("int"))
-      .withColumn("role_shingles", wordNgrams(split(col("role_seq"), ""), 3))
       .withColumn("bk_role_len", concat_ws("#", col("role_seq"), col("len_band")))
     // MinHash over word-3-gram shingles (not unigram tokens): unrelated
     // records sharing a vocabulary still have near-disjoint shingle sets,
@@ -84,9 +89,18 @@ object Signatures {
       base.select(col("conv_id"), array_distinct(wordNgrams(col("tokens"), 3)).as("__sh")),
       "conv_id", col("__sh"), MinhashK)
     base.join(mh, Seq("conv_id"), "left")
+      // band keys from the RAW (nullable) signature: a conversation with
+      // <3 tokens has no shingles, hence no minhash — its band keys must
+      // be NULL (the un-blockable convention every other feature follows;
+      // blocking filters null keys before the shuffle) rather than a
+      // shared sentinel that would glue every short conversation in the
+      // corpus into one giant block per band (explicit when(): concat_ws
+      // inside minhashBandKeys skips nulls, so it would NOT null-propagate)
+      .withColumn("minhash_bands",
+        when(col("minhash_sig").isNull, lit(null).cast("array<string>"))
+          .otherwise(minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand)))
       .withColumn("minhash_sig",
         coalesce(col("minhash_sig"), array_repeat(lit(Long.MaxValue), MinhashK)))
-      .withColumn("minhash_bands", minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand))
   }
 
   /** Corpus-level common END tokens: tokens that terminate more than
