@@ -1,0 +1,216 @@
+package graft
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Optimization-round probe harness (guide §1.4): times sub-pieces of the
+  * expensive declared queries in isolation with the noop sink (so the
+  * computation is measured, not the count/collect), labels each job, and
+  * can dump formatted plans for the plans/r06 audit trail.
+  *
+  * NOT part of the driver contract — `graft.Bench` is the frozen
+  * measurement surface; this main exists so OPTIMIZATION_r06.md numbers are
+  * reproducible. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchExtra [plansDir]"
+  */
+object BenchExtra {
+
+  def main(args: Array[String]): Unit = {
+    val plansDir = args.headOption
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
+
+    val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verboseStages = sys.env.get("SPARK_GRAFT_EXTRA_STAGELOG").contains("1")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageCounter.incrementAndGet()
+        if (verboseStages) {
+          val i = s.stageInfo
+          val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+          val m = i.taskMetrics
+          println(f"[stagelog] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+            f"wall_ms=${ms.getOrElse(-1L)}%6d run_ms=${m.executorRunTime}%6d " +
+            f"cpu_ms=${m.executorCpuTime / 1000000}%6d " +
+            f"deser_ms=${m.executorDeserializeTime}%5d ${i.name.take(60)}")
+          if (m.executorRunTime > 1000)
+            println("[stagedetail] " + i.details.linesIterator
+              .filter(l => l.contains("graft") || l.contains("Dataset") || l.contains("RDD"))
+              .take(6).mkString(" | "))
+        }
+        ()
+      }
+    })
+
+    /** noop-sink timing, `reps` times; prints every rep (first is warm-up).
+      * The DataFrame is BUILT inside the timed region: query fns that use
+      * lazy localCheckpoint stage boundaries run their non-final AQE stages
+      * eagerly at build time, so excluding the build would under-report
+      * (and the frozen Bench times fn invocation too).
+      */
+    def timeNoop(name: String, reps: Int = 3)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        spark.sparkContext.setJobDescription(name)
+        val s0 = stageCounter.get()
+        val t0 = System.nanoTime()
+        val df = mk
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        (sec, stageCounter.get() - s0)
+      }
+      spark.sparkContext.setJobDescription(null)
+      println(f"[extra] $name%-28s ${times.map(t => f"${t._1}%7.2f").mkString(" ")}" +
+        f"  stages=${times.map(_._2).mkString("/")}")
+    }
+
+    /** arbitrary action timing (for code paths that run eager driver work). */
+    def timeAct(name: String, reps: Int = 3)(f: => Long): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[extra] $name%-28s ${times.map(t => f"${t._1}%7.2f").mkString(" ")}" +
+        s"  n=${times.head._2}")
+    }
+
+    def dumpPlan(name: String, df: DataFrame): Unit = plansDir.foreach { dir =>
+      new File(dir).mkdirs()
+      val pw = new PrintWriter(new File(s"$dir/$name.txt"))
+      pw.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      pw.close()
+    }
+
+    val sections = sys.env.getOrElse("SPARK_GRAFT_EXTRA_SECTIONS",
+      "q19b,q17,q29,q26,q35,q20,misc").split(",").map(_.trim).toSet
+
+    import graft.queries.DedupQueries.{LshK, LshBands, LshRows}
+
+    // ---- q19b pieces --------------------------------------------------
+    def withSh = graft.queries.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
+    def sig = minhashAggregate(withSh, "doc_id", col("shingles"), LshK, portable = true)
+      .select(col("doc_id"), minhashBandKeys(col("minhash_sig"), LshBands, LshRows).as("bands"))
+    def exploded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+    def cand = exploded.as("l").join(exploded.as("r"),
+        col("l.band_key") === col("r.band_key") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"))
+      .distinct()
+
+    if (sections("q19b")) {
+      timeNoop("q19b.shingles")(withSh)
+      timeNoop("q19b.sig")(sig)
+      timeNoop("q19b.cand")(cand)
+      timeNoop("q19b.full")(graft.queries.DedupQueries.q19bDef.fn(spark, sfDir))
+      timeAct("q19b.count") {
+        graft.queries.DedupQueries.q19bDef.fn(spark, sfDir).count()
+      }
+      dumpPlan("q19b_lsh_jaccard", graft.queries.DedupQueries.q19bDef.fn(spark, sfDir))
+    }
+
+    if (sections("q17")) {
+      import graft.queries.DedupQueries.{MinhashK, Bands, RowsPerBand}
+      def q17sig = {
+        val d = graft.queries.Tables.load(spark, sfDir, "documents")
+        val shingles = array_distinct(wordNgrams(tokens(col("text")), 3))
+        minhashAggregate(
+          d.select(col("doc_id"), shingles.as("__sh")),
+          "doc_id", col("__sh"), MinhashK, portable = true)
+          .select(col("doc_id"),
+            minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand).as("bands"))
+      }
+      def q17from(exploded: DataFrame) =
+        exploded.as("l").join(exploded.as("r"),
+            col("l.band_key") === col("r.band_key") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id_l"), col("r.doc_id").as("doc_id_r"))
+          .distinct()
+      timeNoop("q17.full")(SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir))
+      timeAct("q17.count") {
+        SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir).count()
+      }
+      timeAct("q17.nochk_count") {
+        q17from(q17sig.select(col("doc_id"), explode(col("bands")).as("band_key"))).count()
+      }
+      timeAct("q17.exploded_count") {
+        q17sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+          .localCheckpoint(false).count()
+      }
+      locally {
+        val raw = q17sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+        raw.write.format("noop").mode("overwrite").save()
+        println("[finalplan q17.exploded_raw]\n" + raw.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      dumpPlan("q17_minhash_lsh_pairs", SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir))
+    }
+
+    // ---- q29 pieces ---------------------------------------------------
+    if (sections("q29")) {
+      val pad = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 12, "0")
+      def edges = graft.queries.DedupQueries.q19bDef.fn(spark, sfDir)
+        .select(pad(col("doc_id_l")).as("src"), pad(col("doc_id_r")).as("dst"))
+      timeAct("q29.edges_distinct_count") {
+        edges.select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct().count()
+      }
+      timeAct("q29.full_count") {
+        SparkEntry.queries("q29_connected_components")(spark, sfDir).count()
+      }
+      dumpPlan("q29_connected_components",
+        SparkEntry.queries("q29_connected_components")(spark, sfDir))
+    }
+
+    // ---- q26/q27/q28 family ------------------------------------------
+    if (sections("q26")) {
+      timeNoop("q26.full")(SparkEntry.queries("q26_blocking_pairs")(spark, sfDir))
+      timeNoop("q27.full")(SparkEntry.queries("q27_fs_scores")(spark, sfDir))
+      timeNoop("q28.full")(SparkEntry.queries("q28_best_match")(spark, sfDir))
+      timeNoop("q36.full")(SparkEntry.queries("q36_accuracy_report")(spark, sfDir))
+      timeNoop("q37.full")(SparkEntry.queries("q37_nth_fp_example")(spark, sfDir))
+      dumpPlan("q26_blocking_pairs", SparkEntry.queries("q26_blocking_pairs")(spark, sfDir))
+      dumpPlan("q28_best_match", SparkEntry.queries("q28_best_match")(spark, sfDir))
+    }
+
+    if (sections("q35")) {
+      timeNoop("q35.full")(SparkEntry.queries("q35_link_merge")(spark, sfDir))
+      timeAct("q35.count") {
+        SparkEntry.queries("q35_link_merge")(spark, sfDir).count()
+      }
+      dumpPlan("q35_link_merge", SparkEntry.queries("q35_link_merge")(spark, sfDir))
+    }
+
+    if (sections("q20")) {
+      timeNoop("q20.full")(SparkEntry.queries("q20_cosine_topk")(spark, sfDir))
+      timeNoop("q20c.full")(SparkEntry.queries("q20c_ann_multiband")(spark, sfDir))
+      dumpPlan("q20_cosine_topk", SparkEntry.queries("q20_cosine_topk")(spark, sfDir))
+    }
+
+    if (sections("misc")) {
+      timeNoop("q14.full")(SparkEntry.queries("q14_bigrams_top")(spark, sfDir))
+      timeNoop("q38.full")(SparkEntry.queries("q38_hist_udaf")(spark, sfDir))
+      timeNoop("q34.full")(SparkEntry.queries("q34_salted_blocking")(spark, sfDir))
+      timeNoop("q40.full")(SparkEntry.queries("q40_suffix_trie")(spark, sfDir))
+    }
+
+    spark.stop()
+  }
+}

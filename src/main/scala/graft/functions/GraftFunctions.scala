@@ -242,6 +242,19 @@ object GraftFunctions {
   def cosineE6(a: Column, b: Column): Column =
     round(cosine(a, b) * lit(1000000d)).cast("long")
 
+  /** cosineE6 with the two vectors' L2 norms supplied as columns, so a
+    * pair join can project each side's norm ONCE per vector instead of
+    * re-folding both per pair. `na`/`nb` MUST be `l2norm(a)`/`l2norm(b)` —
+    * then the arithmetic (dot / (na * nb), zero-product guard, half-up
+    * round at 1e6) is expression-for-expression the same as cosineE6 and
+    * the result is bit-identical.
+    */
+  def cosineE6Pre(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    val c = when(n === 0d, lit(0d)).otherwise(dot(a, b) / n)
+    round(c * lit(1000000d)).cast("long")
+  }
+
   // ---------------------------------------------------------------------
   // Histogram maps (reference: list_aggregate(arr,'histogram') — DuckDB's
   // array->MAP(value->count); SURVEY.md §2.4. Spark has no histogram

@@ -40,12 +40,31 @@ object ErQueries {
              THEN ($duckToks)[-3:] ELSE $duckToks END, ' ') AS tail3
     FROM documents"""
 
+  /** Materialised feature table: every query in this family references the
+    * feature subplan several times (both sides of up to three rule
+    * self-joins, plus labels in q36/q37 and the cascade in q35) — as a
+    * plain subplan each reference re-derives the tokenise-regex chain from
+    * the scan (8 scans in the r5 q35 physical plan), and the duplicated
+    * subtree multiplies Catalyst/AQE planning and codegen work. A lazy
+    * localCheckpoint materialises it ONCE per query invocation (the
+    * pipeline's stage-boundary device, guide §1.2); each bench rep still
+    * recomputes it from parquet — a fresh RDD per call, not a plan-keyed
+    * cache.
+    */
+  private def featuresM(s: SparkSession, dir: String): DataFrame =
+    features(s, dir).localCheckpoint(false)
+
   /** Union-of-equi-join blocking with Splink-style earlier-rule exclusion:
     * rule i only emits pairs NOT matched by any rule j < i, so each pair
     * appears exactly once, tagged with its first matching rule.
     */
-  private def blockedPairs(s: SparkSession, dir: String): DataFrame = {
-    val f = features(s, dir)
+  private def blockedPairs(s: SparkSession, dir: String): DataFrame =
+    blockedPairsFrom(featuresM(s, dir))
+
+  /** Same, over an already-materialised feature table (so queries that also
+    * need features elsewhere share ONE materialisation).
+    */
+  private def blockedPairsFrom(f: DataFrame): DataFrame = {
     // rule keys (null keys never join)
     val keyed = f.select(col("doc_id"),
       col("norm_text"), col("toks"), col("lang"), col("n_chars"),
@@ -295,15 +314,18 @@ object ErQueries {
     QueryDef(
       "q35_link_merge",
       (s, dir) => {
-        val f = features(s, dir)
+        val f = featuresM(s, dir)
         val canonF = f.filter(col("doc_id") % 3 =!= 0)
         val messyF = f.filter(col("doc_id") % 3 === 0)
+        // det feeds both the carry-forward anti-join and the final merge;
+        // materialised once so the cascade's aggregate/join chain is not
+        // re-derived per consumer (same lazy stage-boundary device as f)
         val det = graft.resolve.ExactCascade.run(
           messyF.select(col("doc_id"), col("norm_text").as("sig_text"),
             col("lang").as("block_key")),
           canonF.select(col("doc_id"), col("norm_text").as("sig_text"),
             col("lang").as("block_key")),
-          idCol = "doc_id")
+          idCol = "doc_id").localCheckpoint(false)
         val remaining = messyF.join(det.select("doc_id"), Seq("doc_id"), "left_anti")
         def keyed(df: DataFrame, sfx: String) = df.select(
           col("doc_id").as(s"doc_id$sfx"),
@@ -408,11 +430,11 @@ object ErQueries {
     QueryDef(
       "q36_accuracy_report",
       (s, dir) => {
-        val f = features(s, dir)
+        val f = featuresM(s, dir)
         val labels = f.select(col("doc_id").as("conv_id"),
           min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
             .as("correct_conv_id"))
-        val scored = scoreCols(blockedPairs(s, dir))
+        val scored = scoreCols(blockedPairsFrom(f))
           .select(col("doc_id_l"), col("doc_id_r"), col("match_weight_e6"))
         val w = Window.partitionBy(col("doc_id_r"))
           .orderBy(col("match_weight_e6").desc, col("doc_id_l").asc)
@@ -453,11 +475,11 @@ object ErQueries {
     QueryDef(
       "q37_nth_fp_example",
       (s, dir) => {
-        val f = features(s, dir)
+        val f = featuresM(s, dir)
         val labels = f.select(col("doc_id").as("conv_id"),
           min(col("doc_id")).over(Window.partitionBy(col("norm_text")))
             .as("correct_conv_id"))
-        val scored = scoreCols(blockedPairs(s, dir))
+        val scored = scoreCols(blockedPairsFrom(f))
           .select(col("doc_id_l"), col("doc_id_r"), col("match_weight_e6"))
         val w = Window.partitionBy(col("doc_id_r"))
           .orderBy(col("match_weight_e6").desc, col("doc_id_l").asc)
@@ -498,7 +520,7 @@ object ErQueries {
     QueryDef(
       "q40_suffix_trie",
       (s, dir) => {
-        val f = features(s, dir)
+        val f = featuresM(s, dir)
         def frame(df: DataFrame) = df.select(
           col("doc_id"), col("norm_text").as("sig_text"), col("lang").as("block_key"))
         graft.resolve.ExactCascade.resolveWithSuffixes(

@@ -14,7 +14,44 @@ final case class QueryDef(
 )
 
 object Tables {
-  /** Load a driver-provided parquet table from the scale-factor dir. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Tables below this size stay unsplit: dimension tables (region, nation,
+    * supplier) are broadcast-joined anyway and a fan-out shuffle would only
+    * add an exchange to their plans.
+    */
+  private val FanoutMinBytes = 64L * 1024
+
+  /** Load a driver-provided parquet table from the scale-factor dir, with
+    * scale-adaptive scan fan-out (optimization guide §2.5 "input skew" +
+    * §6 input-split sizing): the test SF dirs are single small parquet
+    * files with one row group, so a bare scan yields ONE input partition —
+    * Spark cannot split inside a row group — and every per-row expression
+    * chain (tokenise/shingle/minhash/cosine) runs on one core of the
+    * local[N] session (measured: q19b's shingle projection alone was 1.7 s
+    * single-task at sf0.1). When the table's file bytes cannot fill the
+    * session's default parallelism at maxPartitionBytes granularity (the
+    * scan is provably narrower than the cluster), round-robin repartition
+    * to defaultParallelism — a sub-MB local shuffle that unlocks all
+    * cores. At production scale the condition is false (bytes >>
+    * cores * maxPartitionBytes gives a naturally parallel scan) and the
+    * scan is returned untouched: partitioning is derived from input size,
+    * not a local[32] constant. Round-robin keeps results identical — every
+    * declared query's output is row-order-deterministic and the driver
+    * hashes sorted rows — and Spark's sort-before-repartition keeps the
+    * assignment reproducible under task retry.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes >= FanoutMinBytes && bytes < maxPartitionBytes * cores)
+      df.repartition(cores)
+    else df
+  }
 }

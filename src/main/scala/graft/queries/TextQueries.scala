@@ -59,7 +59,14 @@ object TextQueries {
       "q12_token_hist",
       (s, dir) => {
         val d = load(s, dir, "documents")
-        d.select(col("doc_id"), explode(docToks(col("text"))).as("token"))
+        // barrier before the explode: InferFiltersFromGenerate's
+        // size(toks) > 0 filter would otherwise re-inline the tokenise
+        // regex chain below the scan fan-out exchange, running it twice
+        // per row in the single-split scan task (see q17's note; fresh RDD
+        // per invocation — no cross-rep caching)
+        val toks = d.select(col("doc_id"), docToks(col("text")).as("toks"))
+          .localCheckpoint(false)
+        toks.select(col("doc_id"), explode(col("toks")).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("cnt"))
       },
@@ -80,7 +87,9 @@ object TextQueries {
         // identity (2a+b) div (2b) — never a rounded DOUBLE (r2 ulp class).
         // e8 (not e10) so 2·cnt·1e8 stays under 2^63 up to cnt ~4.6e10 —
         // no practical sf ceiling (ADVICE r4: e10 overflowed at cnt ~4.6e8).
-        val counted = d.select(explode(docToks(col("text"))).as("token"))
+        // barrier before the explode — same pushdown hazard as q12
+        val toks = d.select(docToks(col("text")).as("toks")).localCheckpoint(false)
+        val counted = toks.select(explode(col("toks")).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         // corpus total as a broadcast 1-row scalar, NOT an unpartitioned
         // window (VERDICT r4 #4): sum().over(Window.partitionBy()) funnels
@@ -110,7 +119,10 @@ object TextQueries {
       "q14_bigrams_top",
       (s, dir) => {
         val d = load(s, dir, "documents")
-        val bg = d.select(col("lang"), explode(wordNgrams(docToks(col("text")), 2)).as("bigram"))
+        // barrier before the explode — same pushdown hazard as q12
+        val bgArr = d.select(col("lang"),
+          wordNgrams(docToks(col("text")), 2).as("bgs")).localCheckpoint(false)
+        val bg = bgArr.select(col("lang"), explode(col("bgs")).as("bigram"))
           .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
         bg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
