@@ -204,6 +204,32 @@ object BenchExtra {
       dumpPlan("q20_cosine_topk", SparkEntry.queries("q20_cosine_topk")(spark, sfDir))
     }
 
+    // ---- starRound hub-skew A/B (VERDICT r5 #2): window-min form vs
+    // groupBy(min)+join form on (a) a planted hub — one node with `hubDeg`
+    // neighbours — and (b) a uniform random graph of the same edge count.
+    if (sections("cchub")) {
+      import spark.implicits._
+      val hubDeg = sys.env.getOrElse("SPARK_GRAFT_HUB_DEG", "1000000").toInt
+      def pad(i: org.apache.spark.sql.Column) = lpad(i.cast("string"), 9, "0")
+      val hub = spark.range(1, hubDeg.toLong + 1)
+        .select(lit("000000000").as("src"), pad(col("id")).as("dst"))
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val uniform = spark.range(0, hubDeg.toLong)
+        .select(pad(pmod(xxhash64(col("id")), lit(hubDeg))).as("src"),
+          pad(pmod(xxhash64(col("id") + lit(hubDeg)), lit(hubDeg))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(cpus.toInt).localCheckpoint(true)
+      timeNoop("cchub.hub_window", reps = 3)(
+        graft.resolve.ConnectedComponents.starRound(hub))
+      timeNoop("cchub.hub_agg", reps = 3)(
+        graft.resolve.ConnectedComponents.starRoundAgg(hub))
+      timeNoop("cchub.uniform_window", reps = 3)(
+        graft.resolve.ConnectedComponents.starRound(uniform))
+      timeNoop("cchub.uniform_agg", reps = 3)(
+        graft.resolve.ConnectedComponents.starRoundAgg(uniform))
+      hub.unpersist(); uniform.unpersist()
+    }
+
     if (sections("misc")) {
       timeNoop("q14.full")(SparkEntry.queries("q14_bigrams_top")(spark, sfDir))
       timeNoop("q38.full")(SparkEntry.queries("q38_hist_udaf")(spark, sfDir))

@@ -155,9 +155,14 @@ object Pipeline {
     def staged(name: String)(compute: => DataFrame): DataFrame =
       ckpt.map(_.stage(name, fp)(compute)).getOrElse(compute.localCheckpoint(false))
 
-    // 1. signatures (+ TF attach)
+    // 1. signatures (+ TF attach). s0 is materialised once inside the
+    // stage: tokenFrequencies, attachTf's per-token explode and the final
+    // feature join are three more instances of the signatures subplan —
+    // exchange reuse shares the conversation shuffle but each instance
+    // recomputed the heavy post-aggregate projection (measured as the
+    // dominant pipeline stage at 30k convs).
     val sigs = staged("signatures") {
-      val s0 = Signatures.signatures(turns)
+      val s0 = Signatures.signatures(turns).localCheckpoint(false)
       val tf = Signatures.tokenFrequencies(s0)
       Signatures.attachTf(s0, tf)
         .withColumn("block_key", col("bk_role_len"))
@@ -260,12 +265,13 @@ object Pipeline {
     // 1. signatures; one TF table (canonical corpus) applied to both sides
     // so a token's rarity means the same thing on each side of a pair.
     val canonSigs = staged("link_canon_sigs") {
-      val s0 = Signatures.signatures(canonicalTurns)
+      // s0 materialised once — see run()'s signatures stage note
+      val s0 = Signatures.signatures(canonicalTurns).localCheckpoint(false)
       Signatures.attachTf(s0, Signatures.tokenFrequencies(s0))
         .withColumn("block_key", col("bk_role_len"))
     }.persist()
     val messySigs = staged("link_messy_sigs") {
-      val s0 = Signatures.signatures(messyTurns)
+      val s0 = Signatures.signatures(messyTurns).localCheckpoint(false)
       // TF from the already-materialised canonical signatures (tokens col)
       Signatures.attachTf(s0, Signatures.tokenFrequencies(canonSigs))
         .withColumn("block_key", col("bk_role_len"))

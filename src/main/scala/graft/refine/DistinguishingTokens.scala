@@ -96,6 +96,15 @@ object DistinguishingTokens {
             slice(c, lit(1), size(c) - 1)).otherwise(c)
         stripOnce(stripOnce(toks))
       }
+    // NOTE (r5 + r6 measured NEGATIVE results): materialising tokenised
+    // here does NOT pay. r5 measured a CacheManager .persist() as neutral;
+    // r6 measured a lazy localCheckpoint barrier at 55-67 s for the refine
+    // stage vs ~7 s without (30k convs) — the barrier's UnknownPartitioning
+    // forces every downstream consumer (pool explode groupBys, tokens_r
+    // aggregate, final join) to re-shuffle what exchange reuse otherwise
+    // shares, and the materialised row (all carry columns + both token
+    // arrays) is far fatter than the pruned per-consumer projections.
+    // Keep tokenised as a plain subplan.
     val tokenised = topN
       .withColumn("tokens_l", stripCommonTail(fastToks(col("sig_text_l"))))
       .withColumn("tokens_r", stripCommonTail(fastToks(col("sig_text_r"))))

@@ -85,10 +85,22 @@ object Signatures {
     // Computed via explode+groupBy-min — the Column-expression form
     // re-inlines the shingle pipeline once per hash seed (see
     // GraftFunctions.minhashAggregate).
+    //
+    // base is MATERIALISED once (lazy localCheckpoint) before the minhash
+    // branch: base and mh are two instances of the same subplan joined
+    // together, so without the barrier the post-aggregate projection (the
+    // per-turn normText chain + tokenise + shingle) is computed once per
+    // instance, and the explode inside minhashAggregate additionally
+    // re-inlines the shingle chain into its inferred size(__sh) > 0
+    // filter (guide §1.2; measured 11.9 s -> ~5 s for the signatures
+    // stage at 30k convs). Fresh RDD per call — no cross-run caching.
+    val baseSh = base
+      .withColumn("__sh", array_distinct(wordNgrams(col("tokens"), 3)))
+      .localCheckpoint(false)
     val mh = minhashAggregate(
-      base.select(col("conv_id"), array_distinct(wordNgrams(col("tokens"), 3)).as("__sh")),
+      baseSh.select(col("conv_id"), col("__sh")),
       "conv_id", col("__sh"), MinhashK)
-    base.join(mh, Seq("conv_id"), "left")
+    baseSh.drop("__sh").join(mh, Seq("conv_id"), "left")
       // band keys from the RAW (nullable) signature: a conversation with
       // <3 tokens has no shingles, hence no minhash — its band keys must
       // be NULL (the un-blockable convention every other feature follows;
@@ -99,8 +111,12 @@ object Signatures {
       .withColumn("minhash_bands",
         when(col("minhash_sig").isNull, lit(null).cast("array<string>"))
           .otherwise(minhashBandKeys(col("minhash_sig"), Bands, RowsPerBand)))
-      .withColumn("minhash_sig",
-        coalesce(col("minhash_sig"), array_repeat(lit(Long.MaxValue), MinhashK)))
+    // minhash_sig stays NULL for shingle-less (<3-token) conversations —
+    // the un-blockable convention minhash_bands follows. The old
+    // Long.MaxValue sentinel fill had no in-pipeline consumer and two
+    // shingle-less records carried IDENTICAL sentinel signatures, so any
+    // future consumer comparing minhash_sig directly would silently
+    // re-introduce the glue-everything bug (ADVICE r5).
   }
 
   /** Corpus-level common END tokens: tokens that terminate more than

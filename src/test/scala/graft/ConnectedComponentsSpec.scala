@@ -97,4 +97,60 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = (0 until n - 1).map(i => (nodes(i), nodes(i + 1)))
     check(nodes, edges)
   }
+
+  test("mid-loop driver-finish tail: edge count crosses the gate after round 1") {
+    // VERDICT r5 #1: the convergence-tail branch (ConnectedComponents.run
+    // — driver finish when a round's output falls under the gate
+    // mid-iteration) was shipped untested. Construct exactly its case: a
+    // K7 clique has 21 canonical edges (> gate 10, so the distributed
+    // loop is entered, not the entry-check finish), and one star round
+    // contracts it to a star of 6 edges (<= gate 10, and != the input
+    // multiset so the round is NOT a fixpoint) — the tail branch must
+    // fire on iteration 1 and the driver union-find must produce the
+    // oracle components. Preconditions asserted explicitly so the test
+    // fails loudly if a starRound change stops exercising the branch.
+    val n = 7
+    val gate = 10L
+    val nodes = (0 until n).map(i => f"k$i%02d")
+    val edges = for { i <- 0 until n; j <- i + 1 until n } yield (nodes(i), nodes(j))
+    val canonical = edges.toDF("src", "dst")
+    assert(edges.size.toLong > gate, "precondition: entry check must NOT fire")
+    val after1 = ConnectedComponents.starRound(canonical)
+      .as[(String, String)].collect().toSet
+    assert(after1.size.toLong <= gate,
+      "precondition: round 1 output must fall under the gate")
+    assert(after1 != edges.toSet, "precondition: round 1 must not be a fixpoint")
+
+    val want = unionFind(nodes, edges)
+    val gotTail = ConnectedComponents.assignAll(
+      spark, nodes.toDF("conv_id"), canonical, driverFinishMaxEdges = gate)
+      .as[(String, String)].collect().toMap
+    assert(gotTail === want)
+    // and the forced-distributed fixpoint agrees (three-way, as in check())
+    val gotDistributed = ConnectedComponents.assignAll(
+      spark, nodes.toDF("conv_id"), canonical, driverFinishMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(gotDistributed === want)
+  }
+
+  test("starRound and starRoundAgg emit the same edge set (random graphs)") {
+    // the groupBy(min)+join variant exists for hub-skew safety (VERDICT
+    // r5 #2); both forms must contract identically so either can serve
+    // the fixpoint loop
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(40)
+      val nodes = (0 until n).map(i => f"s$i%03d")
+      val raw = (0 until 2 * n).map(_ => (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      // canonical (src < dst) distinct edges, as run() feeds starRound
+      val canonical = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => if (utf8Ord.lt(a, b)) (a, b) else (b, a) }
+        .distinct.toDF("src", "dst")
+      val w = ConnectedComponents.starRound(canonical)
+        .as[(String, String)].collect().toSet
+      val g = ConnectedComponents.starRoundAgg(canonical)
+        .as[(String, String)].collect().toSet
+      assert(w === g, s"trial $trial: window and agg star rounds disagree")
+    }
+  }
 }
