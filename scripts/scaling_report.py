@@ -40,7 +40,7 @@ def main():
             print(
                 f"{name}: master={j['master']} wall={j['wall_sec']:.1f}s "
                 f"cpu={j['cpu_sec']:.0f}s busy={j['busy_cores']:.2f} "
-                f"sections p/r/c={j.get('sec_pairs', -1):.0f}/"
+                f"sections p/r/c={j.get('sec_core', j.get('sec_pairs', -1)):.0f}/"
                 f"{j.get('sec_refined', -1):.0f}/{j.get('sec_clusters', -1):.0f}s "
                 f"kernel={j['pairs_scored_per_sec']:.0f} "
                 f"pure={j['pure_pairs_scored_per_sec']:.0f} pairs/s "

@@ -230,6 +230,39 @@ object BenchExtra {
       hub.unpersist(); uniform.unpersist()
     }
 
+    // ---- bulk formatted-plan dump for the plans/r06 audit trail:
+    // SPARK_GRAFT_EXTRA_SECTIONS=dump, plansDir arg, optional
+    // SPARK_GRAFT_DUMP_SUFFIX=_before/_after appended to file names.
+    if (sections("dump")) {
+      val suffix = sys.env.getOrElse("SPARK_GRAFT_DUMP_SUFFIX", "")
+      val dumpSet = Seq(
+        "q01_agg_lineitem", "q12_token_hist", "q13_tf_table", "q14_bigrams_top",
+        "q17_minhash_lsh_pairs", "q19b_lsh_jaccard", "q20_cosine_topk",
+        "q20b_ann_lsh", "q20c_ann_multiband", "q26_blocking_pairs",
+        "q27_fs_scores", "q28_best_match", "q29_connected_components",
+        "q34_salted_blocking", "q35_link_merge", "q36_accuracy_report",
+        "q37_nth_fp_example", "q38_hist_udaf", "q40_suffix_trie")
+      dumpSet.foreach { name =>
+        try dumpPlan(name + suffix, SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable => println(s"[extra] dump $name FAILED: ${e.getMessage}") }
+      }
+      println(s"[extra] dumped ${dumpSet.size} plans")
+    }
+
+    // ---- cheap scan->shuffle queries, count action (the frozen Bench's
+    // action) — for the scan fan-out A/B (run with SPARK_GRAFT_SCAN_FANOUT
+    // =0/1 in matched quiet windows).
+    if (sections("cheap")) {
+      Seq("q01_agg_lineitem", "q05_topn_per_group", "q06_lead_lag", "q07_cube",
+        "q08_setops", "q10_sort_limit", "q24_sessionize", "q25_hourly_agg",
+        "q30_grouping_sets", "q16_exact_dedup", "q22_quality", "q39_adjacent_suffix")
+        .foreach { name =>
+          timeAct(s"cheap.$name", reps = 4) {
+            SparkEntry.queries(name)(spark, sfDir).count()
+          }
+        }
+    }
+
     if (sections("misc")) {
       timeNoop("q14.full")(SparkEntry.queries("q14_bigrams_top")(spark, sfDir))
       timeNoop("q38.full")(SparkEntry.queries("q38_hist_udaf")(spark, sfDir))

@@ -102,12 +102,14 @@ object ClusterScalingBench {
     // driver action that transitively forces the scored stage. So the
     // honest section semantics (also true of every committed campaign
     // JSON) are:
-    //   sec_pairs    = signatures + cascade + blocking + SCORING + CC
-    //                  (everything except refine — "core")
+    //   sec_core     = signatures + cascade + blocking + SCORING + CC
+    //                  (everything except refine — named for what it
+    //                  times, VERDICT r5 #5; campaign JSONs before r6
+    //                  carry the same number as "sec_pairs")
     //   sec_refined  = refine pass only
     //   sec_clusters = a distinct-count over the already-computed
     //                  assignment (cheap by construction)
-    // The scoring share of sec_pairs is measured independently below
+    // The scoring share of sec_core is measured independently below
     // (score_secs, on the materialised pairs); CC's share is bounded by
     // the driver-finish path (~1-2 s at these sizes).
     probe()
@@ -194,7 +196,7 @@ object ClusterScalingBench {
     probe()
     val probesJson = probes.map(p => f"$p%.0f").mkString("[", ",", "]")
     println(
-      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"sec_pairs":$secPairs%.2f,"sec_refined":$secRefined%.2f,"sec_clusters":$secClusters%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f,"probe_ms":$probesJson}""")
+      f"""{"bench":"cluster_scaling","master":"${spark.sparkContext.master}","total_cores":$cores,"n_conv_ids":$nConvIds,"turns":$nTurns,"candidate_pairs":$nPairs,"wall_sec":$wall%.2f,"cpu_sec":$cpuSec%.2f,"turns_per_sec":${nTurns / wall}%.1f,"busy_cores":${cpuSec / wall}%.2f,"sec_core":$secPairs%.2f,"sec_refined":$secRefined%.2f,"sec_clusters":$secClusters%.2f,"score_secs":[${scoreSecs.map(s => f"$s%.2f").mkString(",")}],"pairs_scored_per_sec":${nPairs / scoreSec}%.1f,"pure_score_secs":[${pureSecs.map(s => f"$s%.2f").mkString(",")}],"pure_pairs_scored_per_sec":${if (pureSec > 0) nPairs / pureSec else -1.0}%.1f,"probe_ms":$probesJson}""")
     spark.stop()
   }
 }

@@ -50,7 +50,7 @@ object DedupQueries {
   val q19Def: QueryDef = QueryDef(
     "q19_ngram_jaccard",
     (s, dir) => {
-      val d = load(s, dir, "documents")
+      val d = load(s, dir, "documents", fanout = true)
       // materialised once: both sides of the block self-join read it, and
       // the barrier stops join-condition pushdown from re-inlining the
       // shingle chain below the fan-out exchange (see q17's note)
@@ -108,7 +108,7 @@ object DedupQueries {
   val q19bDef: QueryDef = QueryDef(
     "q19b_lsh_jaccard",
     (s, dir) => {
-      val d = load(s, dir, "documents")
+      val d = load(s, dir, "documents", fanout = true)
       // The shingle table feeds THREE consumers (minhash signatures + both
       // sides of the verify join) and the band table feeds both sides of
       // the candidate self-join; as plain subplans each consumer re-derives
@@ -194,7 +194,7 @@ object DedupQueries {
     QueryDef(
       "q17_minhash_lsh_pairs",
       (s, dir) => {
-        val d = load(s, dir, "documents")
+        val d = load(s, dir, "documents", fanout = true)
         val shingles = array_distinct(wordNgrams(tokens(col("text")), 3))
         // materialisation barrier BEFORE the explode inside
         // minhashAggregate: InferFiltersFromGenerate adds size(__sh) > 0 ∧
@@ -283,7 +283,7 @@ object DedupQueries {
         // depends only on one side). Same fold, same doubles — cos_sim_e6
         // is bit-identical; the materialised e is read by both the query
         // and candidate sides (lazy stage boundary, fresh per invocation).
-        val e = load(s, dir, "embeddings")
+        val e = load(s, dir, "embeddings", fanout = true)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("__nrm", l2norm(col("v")))
           .localCheckpoint(false)
@@ -328,7 +328,7 @@ object DedupQueries {
       (s, dir) => {
         // norms projected once per vector + one materialisation for the
         // two join sides — see q20's rationale; cos_sim_e6 bit-identical
-        val e = load(s, dir, "embeddings")
+        val e = load(s, dir, "embeddings", fanout = true)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("bucket",
             aggregate(
@@ -391,7 +391,7 @@ object DedupQueries {
         // e read by band generation + two attach joins, exploded read by
         // both candidate sides — each materialised once per invocation;
         // norms projected per vector (see q20), cos_sim_e6 bit-identical
-        val e = load(s, dir, "embeddings")
+        val e = load(s, dir, "embeddings", fanout = true)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("__nrm", l2norm(col("v")))
           .localCheckpoint(false)

@@ -20,7 +20,7 @@ object ErQueries {
 
   // ---- shared feature projection -------------------------------------
   private def features(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents")
+    val d = load(s, dir, "documents", fanout = true)
     val toks = tokens(col("text"))
     d.select(
       col("doc_id"), col("lang"), col("n_chars"),

@@ -58,7 +58,7 @@ object TextQueries {
     QueryDef(
       "q12_token_hist",
       (s, dir) => {
-        val d = load(s, dir, "documents")
+        val d = load(s, dir, "documents", fanout = true)
         // barrier before the explode: InferFiltersFromGenerate's
         // size(toks) > 0 filter would otherwise re-inline the tokenise
         // regex chain below the scan fan-out exchange, running it twice
@@ -82,7 +82,7 @@ object TextQueries {
     QueryDef(
       "q13_tf_table",
       (s, dir) => {
-        val d = load(s, dir, "documents")
+        val d = load(s, dir, "documents", fanout = true)
         // rel_freq emitted integer-scaled at 1e8 via the shared half-up
         // identity (2a+b) div (2b) — never a rounded DOUBLE (r2 ulp class).
         // e8 (not e10) so 2·cnt·1e8 stays under 2^63 up to cnt ~4.6e10 —
@@ -118,7 +118,7 @@ object TextQueries {
     QueryDef(
       "q14_bigrams_top",
       (s, dir) => {
-        val d = load(s, dir, "documents")
+        val d = load(s, dir, "documents", fanout = true)
         // barrier before the explode — same pushdown hazard as q12
         val bgArr = d.select(col("lang"),
           wordNgrams(docToks(col("text")), 2).as("bgs")).localCheckpoint(false)
@@ -298,7 +298,7 @@ object TextQueries {
     QueryDef(
       "q38_hist_udaf",
       (s, dir) => {
-        val d = load(s, dir, "documents")
+        val d = load(s, dir, "documents", fanout = true)
         d.select(col("lang"), histMap(tokens(col("text"))).as("h"))
           .groupBy(col("lang"))
           .agg(graft.functions.HistMerge(col("h")).as("h"))
