@@ -520,12 +520,18 @@ object ErQueries {
     QueryDef(
       "q40_suffix_trie",
       (s, dir) => {
-        val f = featuresM(s, dir)
-        def frame(df: DataFrame) = df.select(
-          col("doc_id"), col("norm_text").as("sig_text"), col("lang").as("block_key"))
+        // q40 only reads (doc_id, norm_text, lang) — materialising the
+        // FULL feature table (featuresM) cost more than it saved here
+        // (measured 0.6 s -> 1.3 s): a narrow projection is checkpointed
+        // instead, still once for both the messy and canonical frames and
+        // still a pushdown barrier for the suffix explode
+        val f = load(s, dir, "documents", fanout = true)
+          .select(col("doc_id"), normText(col("text")).as("sig_text"),
+            col("lang").as("block_key"), (col("doc_id") % 3).as("__m3"))
+          .localCheckpoint(false)
         graft.resolve.ExactCascade.resolveWithSuffixes(
-            frame(f.filter(col("doc_id") % 3 === 0)),
-            frame(f.filter(col("doc_id") % 3 =!= 0)),
+            f.filter(col("__m3") === 0).drop("__m3"),
+            f.filter(col("__m3") =!= 0).drop("__m3"),
             idCol = "doc_id")
           .select(col("doc_id"), col("resolved_canonical_id").as("resolved_doc_id"),
             col("depth"))

@@ -58,15 +58,13 @@ object TextQueries {
     QueryDef(
       "q12_token_hist",
       (s, dir) => {
-        val d = load(s, dir, "documents", fanout = true)
-        // barrier before the explode: InferFiltersFromGenerate's
-        // size(toks) > 0 filter would otherwise re-inline the tokenise
-        // regex chain below the scan fan-out exchange, running it twice
-        // per row in the single-split scan task (see q17's note; fresh RDD
-        // per invocation — no cross-rep caching)
-        val toks = d.select(col("doc_id"), docToks(col("text")).as("toks"))
-          .localCheckpoint(false)
-        toks.select(col("doc_id"), explode(col("toks")).as("token"))
+        // kept in the round-5 shape: the tokenise chain is ~0.3 s
+        // single-task at sf0.1, so the fan-out + barrier treatment that
+        // wins seconds on the shingle/minhash queries measured NEGATIVE
+        // here (0.73 s -> 0.99 s) — the added exchanges cost more than the
+        // parallelised chain saves
+        val d = load(s, dir, "documents")
+        d.select(col("doc_id"), explode(docToks(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("cnt"))
       },
@@ -82,14 +80,13 @@ object TextQueries {
     QueryDef(
       "q13_tf_table",
       (s, dir) => {
-        val d = load(s, dir, "documents", fanout = true)
+        // kept in the round-5 shape — same measured-negative note as q12
+        val d = load(s, dir, "documents")
         // rel_freq emitted integer-scaled at 1e8 via the shared half-up
         // identity (2a+b) div (2b) — never a rounded DOUBLE (r2 ulp class).
         // e8 (not e10) so 2·cnt·1e8 stays under 2^63 up to cnt ~4.6e10 —
         // no practical sf ceiling (ADVICE r4: e10 overflowed at cnt ~4.6e8).
-        // barrier before the explode — same pushdown hazard as q12
-        val toks = d.select(docToks(col("text")).as("toks")).localCheckpoint(false)
-        val counted = toks.select(explode(col("toks")).as("token"))
+        val counted = d.select(explode(docToks(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         // corpus total as a broadcast 1-row scalar, NOT an unpartitioned
         // window (VERDICT r4 #4): sum().over(Window.partitionBy()) funnels
