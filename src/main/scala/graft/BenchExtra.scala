@@ -263,6 +263,37 @@ object BenchExtra {
         }
     }
 
+    // ---- q14 shape A/B (count action, matched window): the r5 plain
+    // shape vs fan-out-only vs fan-out + pre-explode barrier (the shipped
+    // bc591d4 treatment) — q14's HEAD quiet numbers regressed vs the
+    // round-start quiet log (1.6 -> 2.7 s), so re-measure the treatment
+    // per-shape like a104b9b did for q12/q13.
+    if (sections("q14ab")) {
+      def q14From(d: DataFrame, barrier: Boolean): DataFrame = {
+        val bgArr = d.select(col("lang"), wordNgrams(tokens(col("text")), 2).as("bgs"))
+        val src = if (barrier) bgArr.localCheckpoint(false) else bgArr
+        val bg = src.select(col("lang"), explode(col("bgs")).as("bigram"))
+          .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
+        bg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      }
+      def plain = graft.queries.Tables.load(spark, sfDir, "documents")
+      def fan = graft.queries.Tables.load(spark, sfDir, "documents", fanout = true)
+      // run order is JIT-sensitive (later variants inherit C2-compiled
+      // shared codegen): make it an env knob and measure both orders
+      val order = sys.env.getOrElse("SPARK_GRAFT_Q14_ORDER", "plain,fanout,barrier")
+      order.split(",").map(_.trim).foreach {
+        case "plain" =>
+          timeAct("q14.r5_plain", reps = 4) { q14From(plain, barrier = false).count() }
+        case "fanout" =>
+          timeAct("q14.fanout_only", reps = 4) { q14From(fan, barrier = false).count() }
+        case "barrier" =>
+          timeAct("q14.fanout_barrier", reps = 4) { q14From(fan, barrier = true).count() }
+        case other => println(s"[extra] unknown q14 variant: $other")
+      }
+    }
+
     if (sections("misc")) {
       timeNoop("q14.full")(SparkEntry.queries("q14_bigrams_top")(spark, sfDir))
       timeNoop("q38.full")(SparkEntry.queries("q38_hist_udaf")(spark, sfDir))

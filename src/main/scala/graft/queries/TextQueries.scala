@@ -115,11 +115,15 @@ object TextQueries {
     QueryDef(
       "q14_bigrams_top",
       (s, dir) => {
-        val d = load(s, dir, "documents", fanout = true)
-        // barrier before the explode — same pushdown hazard as q12
-        val bgArr = d.select(col("lang"),
-          wordNgrams(docToks(col("text")), 2).as("bgs")).localCheckpoint(false)
-        val bg = bgArr.select(col("lang"), explode(col("bgs")).as("bigram"))
+        // round-6 A/B (BenchExtra `q14ab`, count action, both JIT orders):
+        // steady-state the fan-out + pre-explode-barrier treatment ties the
+        // plain r5 shape (~2.0 s vs ~2.3 s, within the 1.9-2.5 s spread),
+        // and in bench context the plain shape reads faster because it
+        // shares warm codegen with q12/q13 (which reverted in a104b9b for
+        // the same reason) — so q14 keeps the plain round-5 plan.
+        val d = load(s, dir, "documents")
+        val bg = d.select(col("lang"),
+            explode(wordNgrams(docToks(col("text")), 2)).as("bigram"))
           .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
         bg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
