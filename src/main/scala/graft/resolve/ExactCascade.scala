@@ -59,19 +59,27 @@ object ExactCascade {
         .select(col(outId), col("block_key"), col("k"),
           array_join(slice(col("__toks"), -col("k"), col("k")), " ").as("suffix"))
     }
-    // canonical: per (block, depth, suffix) candidate count + witness.
-    // Rows with n_cand > 1 are KEPT — a deepest match that is ambiguous
+    // canonical: per (block, depth, suffix) uniqueness + witness.
+    // Rows with >1 candidate are KEPT — a deepest match that is ambiguous
     // must fail, not fall back to a shallower unique one (find_address
     // returns NULL when the walk ends on a multi-id subtree).
+    // Uniqueness gate is min == max, NOT countDistinct == 1: Spark plans
+    // a distinct aggregate as a two-level aggregate with an extra
+    // Exchange keyed on (group keys, cand_id), where min/max are
+    // single-phase and map-side combinable — one exchange over the
+    // exploded suffix table instead of two (guide §2.3/§2.4; q40's plan:
+    // 8 -> 6 Exchanges, plans/r06). cand_id is non-null (inner join), so
+    // the predicates are exactly equivalent; the witness was min() already.
     val canonAgg = suffixKeys(canonical, "cand_id")
       .groupBy(col("block_key"), col("k"), col("suffix"))
-      .agg(countDistinct(col("cand_id")).as("n_cand"), min(col("cand_id")).as("cand_id"))
+      .agg(min(col("cand_id")).as("cand_id"), max(col("cand_id")).as("__cand_max"))
     val deepest = suffixKeys(messy, idCol)
       .join(canonAgg, Seq("block_key", "k", "suffix"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("k").desc)))
-      .filter(col("__rn") === 1 && col("n_cand") === 1 && col("k") >= minDepth)
+      .filter(col("__rn") === 1 && col("cand_id") === col("__cand_max") &&
+        col("k") >= minDepth)
     deepest.select(col(idCol), col("cand_id").as("resolved_canonical_id"),
       col("k").cast("long").as("depth"), lit("suffix_trie").as("match_reason"))
   }
@@ -136,11 +144,15 @@ object ExactCascade {
     val canonShingles = canonFiltered
       .select(col(idCol).as("cand_id"), col("block_key"),
         explode(array_distinct(charNgrams(col("sig_text"), 5))).as("shingle"))
-    // shingles unique to ONE canonical record within the block
+    // shingles unique to ONE canonical record within the block.
+    // min == max replaces countDistinct == 1 (identical gate on the
+    // non-null cand_id; when it holds, first == min == max) — avoids the
+    // extra Exchange of the two-level distinct aggregate (see
+    // resolveWithSuffixes' note).
     val uniqueShingles = canonShingles
       .groupBy(col("block_key"), col("shingle"))
-      .agg(countDistinct(col("cand_id")).as("n_cand"), first(col("cand_id")).as("cand_id"))
-      .filter(col("n_cand") === 1)
+      .agg(min(col("cand_id")).as("cand_id"), max(col("cand_id")).as("__cand_max"))
+      .filter(col("cand_id") === col("__cand_max"))
       .select(col("block_key"), col("shingle"), col("cand_id"))
 
     val messyShingles = remaining
@@ -154,9 +166,10 @@ object ExactCascade {
     val shingleMatch = messyShingles
       .join(uniqueShingles, Seq("block_key", "shingle"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("cand_id")).as("n_cands"),
-        count(lit(1)).as("hits"), min(col("cand_id")).as("resolved_canonical_id"))
-      .filter(col("n_cands") === 1 && col("hits") >= minHits)
+      .agg(min(col("cand_id")).as("resolved_canonical_id"),
+        max(col("cand_id")).as("__cand_max"), count(lit(1)).as("hits"))
+      .filter(col("resolved_canonical_id") === col("__cand_max") &&
+        col("hits") >= minHits)
       .select(col(idCol), col("resolved_canonical_id"),
         lit("unique_shingle").as("match_reason"))
 
